@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Production entry point: run (or resume) the quality-filter job.
+
+    spark-submit --py-files dist/yalder_spark.zip scripts/run_filter.py \
+        --input <parquet_or_iceberg> --output <dir> \
+        --model <model_dir> --ppl-model <ppl_dir> [--buckets 256] \
+        [--master local[32]]
+
+When invoked with plain ``python`` (no spark-submit), it builds the
+py-files zip itself and ships it via ``addPyFile`` so executors can
+import ``yalder_spark`` regardless of cwd.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_pyfiles_zip(dist_dir: str | None = None) -> str:
+    dist = dist_dir or os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "yalder_spark.zip")
+    pkg = os.path.join(REPO, "yalder_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--ppl-model", required=True)
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "iceberg"])
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from yalder_spark.pipeline import build_session, run_filter
+
+    spark = build_session("yalder-filter", master=args.master,
+                          shuffle_partitions=args.shuffle_partitions)
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
+
+    report = run_filter(spark, args.input, args.output, args.model,
+                        args.ppl_model, n_buckets=args.buckets,
+                        input_format=args.input_format)
+    n = sum(m["n_in"] for m in report["metrics"])
+    keep = sum(m["n_keep"] for m in report["metrics"])
+    print(f"run {report['run_id']}: committed={report['committed_buckets']} "
+          f"rows={n} kept={keep}")
+
+
+if __name__ == "__main__":
+    main()

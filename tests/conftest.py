@@ -1,0 +1,82 @@
+"""Shared test fixtures: local SparkSession (Arrow + AQE confs per
+SURVEY.md §4) and session-cached deterministic fixture data."""
+
+from __future__ import annotations
+
+import pytest
+
+from yalder_spark.fixtures.gen import gen_corpus, gen_ppl_corpus, gen_repos
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[8]")
+        .appName("yalder-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("WARN")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus_pdf():
+    return gen_corpus(n_per_lang=600, seed=42)
+
+
+@pytest.fixture(scope="session")
+def repos_pdf():
+    return gen_repos(n_rows=500, seed=42)
+
+
+@pytest.fixture(scope="session")
+def oracle_model(corpus_pdf):
+    from yalder_spark.oracle.pure_detector import train_oracle_model
+
+    train = corpus_pdf[corpus_pdf["split"] == "train"]
+    return train_oracle_model(list(zip(train["lang"], train["text"])))
+
+
+@pytest.fixture(scope="session")
+def model_artifact(oracle_model):
+    """LanguageModel artifact built from the oracle model (exactness vs
+    the Spark-trained one is asserted in test_trainer.py)."""
+    import pandas as pd
+
+    from yalder_spark.operators.model import LanguageModel
+
+    rows = [(lang, h, lp) for lang, per in oracle_model.items()
+            for h, lp in per.items()]
+    pdf = pd.DataFrame(rows, columns=["lang", "ngram_hash", "log_prob"])
+    return LanguageModel.from_pandas(pdf)
+
+
+@pytest.fixture(scope="session")
+def ppl_model():
+    from yalder_spark.oracle.pure_detector import train_oracle_model
+    from yalder_spark.operators.model import LanguageModel
+    import pandas as pd
+
+    texts = gen_ppl_corpus(seed=42)
+    m = train_oracle_model([("__quality__", t) for t in texts])
+    rows = [(lang, h, lp) for lang, per in m.items() for h, lp in per.items()]
+    pdf = pd.DataFrame(rows, columns=["lang", "ngram_hash", "log_prob"])
+    return LanguageModel.from_pandas(pdf)
+
+
+@pytest.fixture(scope="session")
+def ppl_model_dict():
+    from yalder_spark.oracle.pure_detector import train_oracle_model
+
+    texts = gen_ppl_corpus(seed=42)
+    return train_oracle_model([("__quality__", t) for t in texts])

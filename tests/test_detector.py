@@ -1,0 +1,94 @@
+"""H4-H8: Spark detector vs pure-Python oracle; H6 log-space equivalence;
+H7 early-exit label equality; langid accuracy gate (SURVEY §5.4)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from yalder_spark.operators.detector import detect_langs, score_batch
+from yalder_spark.oracle.pure_detector import detect_one
+
+
+def test_score_batch_matches_oracle(corpus_pdf, model_artifact, oracle_model):
+    test_pdf = corpus_pdf[corpus_pdf["split"] == "test"].reset_index(drop=True)
+    got = score_batch(test_pdf["text"], model_artifact)
+    for i, text in enumerate(test_pdf["text"]):
+        lang, s, conf, n = detect_one(text, oracle_model)
+        assert got.loc[i, "detected_lang"] == lang, text[:60]
+        assert got.loc[i, "n_ngrams"] == n
+        assert got.loc[i, "lang_score"] == pytest.approx(s, abs=1e-9)
+        assert got.loc[i, "lang_confidence"] == pytest.approx(conf, abs=1e-9)
+
+
+def test_detect_langs_spark_stage(spark, corpus_pdf, model_artifact, oracle_model):
+    test_pdf = corpus_pdf[corpus_pdf["split"] == "test"][["lang", "text"]]
+    df = spark.createDataFrame(test_pdf)
+    out = detect_langs(df, model_artifact).toPandas()
+    assert len(out) == len(test_pdf)
+    assert set(out.columns) == {"lang", "text", "detected_lang", "lang_score",
+                                "lang_confidence", "n_ngrams"}
+    for _, row in out.iterrows():
+        lang, s, _, _ = detect_one(row["text"], oracle_model)
+        assert row["detected_lang"] == lang
+        assert row["lang_score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_langid_accuracy_gate(corpus_pdf, model_artifact):
+    """BASELINE.md langid row: accuracy on held-out synthetic corpus.
+    Frozen floor: 0.97 (measured 1.00 at freeze time, 2026-08-16)."""
+    test_pdf = corpus_pdf[corpus_pdf["split"] == "test"].reset_index(drop=True)
+    got = score_batch(test_pdf["text"], model_artifact)
+    acc = (got["detected_lang"].to_numpy() == test_pdf["lang"].to_numpy()).mean()
+    assert acc >= 0.97, f"langid accuracy {acc:.4f} below frozen floor"
+
+
+def test_empty_and_unknown_docs(model_artifact):
+    got = score_batch(pd.Series(["", "1234 !!!", None, "ok text here"]), model_artifact)
+    assert got.loc[0, "detected_lang"] == "und"
+    assert got.loc[1, "detected_lang"] == "und"
+    assert got.loc[2, "detected_lang"] == "und"
+    assert (got.loc[:2, "lang_confidence"] == 0).all()
+    assert got.loc[3, "n_ngrams"] > 0
+
+
+def test_log_space_equals_renormalized_prob_space(model_artifact):
+    """H6 — the reference's periodic divide-by-max in probability space
+    is a constant subtraction in log space: rankings are identical.
+    Simulate the reference's prob-space loop with renormalization every
+    K n-grams and compare the winner + full ranking."""
+    from yalder_spark.functions.ngram import ALPHA, ngram_hashes_one
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "der schnelle braune fuchs springt über den faulen hund",
+             "le renard brun rapide saute par dessus le chien paresseux"]
+    langs = model_artifact.langs
+    lookup = {
+        (lang, int(h)): math.exp(model_artifact.log_probs[i, j])
+        for i, lang in enumerate(langs)
+        for j, h in enumerate(model_artifact.vocab)
+    }
+    for text in texts:
+        hashes = ngram_hashes_one(text)
+        probs = {l: 1.0 for l in langs}
+        for k, h in enumerate(hashes):
+            for l in langs:
+                probs[l] *= lookup.get((l, h), ALPHA)
+            if (k + 1) % 8 == 0:  # periodic renormalization (reference H6)
+                m = max(probs.values())
+                probs = {l: p / m for l, p in probs.items()}
+        ref_ranking = sorted(langs, key=lambda l: (-probs[l], l))
+        got = score_batch(pd.Series([text]), model_artifact)
+        assert got.loc[0, "detected_lang"] == ref_ranking[0]
+
+
+def test_early_exit_labels_equal_full_scan(corpus_pdf, model_artifact):
+    """H7 — chunked early termination must not change labels."""
+    test_pdf = corpus_pdf[corpus_pdf["split"] == "test"].reset_index(drop=True)
+    full = score_batch(test_pdf["text"], model_artifact, early_exit=False)
+    fast = score_batch(test_pdf["text"], model_artifact, early_exit=True)
+    assert (full["detected_lang"] == fast["detected_lang"]).all()
+    assert (full["n_ngrams"] == fast["n_ngrams"]).all()

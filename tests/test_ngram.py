@@ -1,0 +1,87 @@
+"""H1-H3 parity: pure-Python reference path vs batched NumPy path
+(SURVEY.md §5.3 'hash parity char-by-char')."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from yalder_spark.functions.ngram import (
+    batch_ngram_hashes,
+    hash_ngram,
+    ngram_count_expr_len,
+    ngram_hashes_one,
+    normalize,
+)
+
+SAMPLES = [
+    "Hello, World!  This is a TEST 123.",
+    "",
+    None,
+    "    ",
+    "1234 5678 !!!",
+    "ab",
+    "abc",
+    "abcd",
+    "Straße über GRÜN früh",
+    "中文 检测 语言 模型",
+    "mixed 中文 and English text",
+    "a\nb\nc\nd lines and\ttabs",
+    "x" * 5000,
+]
+
+
+def test_hash_is_java_stringhashcode_style():
+    # h = 31*h + cp with signed-32 wraparound; "abcd" known value:
+    # ((97*31+98)*31+99)*31+100 = 2987074
+    assert hash_ngram("abcd") == 2987074
+    # wraparound: max codepoint overflows 32 bits
+    big = "\U0010FFFF" * 4
+    h = hash_ngram(big)
+    assert -(2**31) <= h < 2**31
+    unwrapped = 0x10FFFF * (31**3 + 31**2 + 31 + 1)
+    assert unwrapped >= 2**31 and h != unwrapped  # must have wrapped
+    assert h == ((unwrapped + 2**31) % 2**32) - 2**31
+
+
+def test_normalize_spec():
+    assert normalize("Hello, World! 123") == "hello world"
+    assert normalize("  a__b\t\nc  ") == "a b c"
+    assert normalize("1234!!!") == ""
+    assert normalize(None) == ""
+    assert normalize("Straße") == "straße"
+    assert normalize("中文abc") == "中文abc"
+
+
+def test_batch_matches_pure_on_samples():
+    hashes, doc_ids, n_docs = batch_ngram_hashes(pd.Series(SAMPLES))
+    assert n_docs == len(SAMPLES)
+    for i, text in enumerate(SAMPLES):
+        expected = ngram_hashes_one(text)
+        got = hashes[doc_ids == i].tolist()
+        assert got == expected, f"doc {i}: {text!r}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(max_size=200), min_size=0, max_size=20))
+def test_batch_matches_pure_property(texts):
+    # NUL codepoints are the internal separator sentinel; the normalizer
+    # maps them to space anyway, so they are legal input.
+    hashes, doc_ids, n_docs = batch_ngram_hashes(pd.Series(texts, dtype="object"))
+    assert n_docs == len(texts)
+    for i, text in enumerate(texts):
+        assert hashes[doc_ids == i].tolist() == ngram_hashes_one(text)
+
+
+def test_ngram_count_formula():
+    for t in SAMPLES:
+        n = len(normalize(t))
+        assert ngram_count_expr_len(n) == len(ngram_hashes_one(t))
+
+
+def test_hashes_fit_signed_32():
+    hashes, _, _ = batch_ngram_hashes(pd.Series(SAMPLES))
+    assert hashes.dtype == np.int64
+    assert np.all(hashes >= -(2**31)) and np.all(hashes < 2**31)

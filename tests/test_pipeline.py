@@ -1,0 +1,96 @@
+"""S1-S3: end-to-end job, manifest commit protocol, kill-and-resume
+idempotency (SURVEY §2 row S2, §5.3 'resume idempotency')."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from yalder_spark.fixtures.gen import repos_input
+from yalder_spark.pipeline import run_filter
+from yalder_spark.sources import io as yio
+
+
+@pytest.fixture(scope="module")
+def input_path(spark, repos_pdf, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("repos") / "repos.parquet")
+    spark.createDataFrame(repos_input(repos_pdf)).write.parquet(p)
+    return p
+
+
+def _read_sorted(spark, out):
+    return (
+        yio.read_output(spark, out)
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+        .sort_index(axis=1)
+    )
+
+
+def test_full_run_and_report(spark, input_path, model_artifact, ppl_model,
+                             tmp_path, repos_pdf):
+    out = str(tmp_path / "out")
+    report = run_filter(spark, input_path, out, model_artifact, ppl_model,
+                        n_buckets=16)
+    assert sorted(report["committed_buckets"]) == yio.committed_buckets(out)
+    assert len(report["metrics"]) == len(report["committed_buckets"])
+    total = sum(m["n_in"] for m in report["metrics"])
+    assert total == len(repos_pdf)
+    for m in report["metrics"]:
+        assert m["n_in"] == m["n_keep"] + m["n_drop"]
+        assert sum(m["drop_reason_counts"].values()) == m["n_drop"]
+    assert report["input_files"], "lineage must record input files"
+
+    # rerun on the complete output is a no-op
+    report2 = run_filter(spark, input_path, out, model_artifact, ppl_model,
+                         n_buckets=16)
+    assert report2["committed_buckets"] == []
+    assert len(_read_sorted(spark, out)) == len(repos_pdf)
+
+
+def test_kill_and_resume_is_idempotent(spark, input_path, model_artifact,
+                                       ppl_model, tmp_path):
+    """Simulate a job killed mid-commit: only half the staged buckets
+    were promoted+recorded.  The resume must process exactly the missing
+    buckets and the final output must equal a from-scratch run."""
+    ref_out = str(tmp_path / "ref")
+    run_filter(spark, input_path, ref_out, model_artifact, ppl_model, n_buckets=16)
+    reference = _read_sorted(spark, ref_out)
+
+    # full staging pass, then promote only buckets < 8 (the "kill")
+    out = str(tmp_path / "resumed")
+    os.makedirs(out)
+    src = yio.with_bucket(yio.read_source(spark, input_path), 16)
+    from yalder_spark.operators.filter import quality_filter
+    staged = quality_filter(src, model_artifact, ppl_model,
+                            key_cols=("repo", "path", "commit", "lang", "bucket"))
+    staging = os.path.join(out, "_staging", "killedrun")
+    staged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    for name in os.listdir(staging):
+        if name.startswith("bucket=") and int(name.split("=")[1]) >= 8:
+            shutil.rmtree(os.path.join(staging, name))
+    committed = yio.commit_buckets(out, staging, {"run_id": "killedrun"})
+    assert committed and all(k < 8 for k in committed)
+
+    # resume
+    report = run_filter(spark, input_path, out, model_artifact, ppl_model,
+                        n_buckets=16)
+    resumed_new = set(report["committed_buckets"])
+    assert resumed_new and all(k >= 8 for k in resumed_new)
+
+    final = _read_sorted(spark, out)
+    assert final.equals(reference), "resumed output must be byte-identical"
+
+
+def test_read_output_ignores_uncommitted_staging(spark, input_path,
+                                                 model_artifact, ppl_model,
+                                                 tmp_path):
+    out = str(tmp_path / "out2")
+    run_filter(spark, input_path, out, model_artifact, ppl_model, n_buckets=4)
+    n = len(_read_sorted(spark, out))
+    # drop an orphan staging dir; read_output must not see it
+    os.makedirs(os.path.join(out, "_staging", "orphan", "bucket=0"), exist_ok=True)
+    assert len(_read_sorted(spark, out)) == n

@@ -1,0 +1,52 @@
+"""T1-T5: Spark trainer must equal the pure-Python oracle ModelBuilder
+exactly (salting is result-invariant; probs normalized pre-pruning)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from yalder_spark.operators.trainer import train
+
+
+@pytest.fixture(scope="module")
+def spark_model(spark, corpus_pdf):
+    train_pdf = corpus_pdf[corpus_pdf["split"] == "train"][["lang", "text"]]
+    df = spark.createDataFrame(train_pdf)
+    return train(df)
+
+
+def test_spark_model_equals_oracle(spark_model, oracle_model):
+    assert sorted(oracle_model) == spark_model.langs
+    for i, lang in enumerate(spark_model.langs):
+        per = oracle_model[lang]
+        got = {
+            int(h): float(spark_model.log_probs[i, j])
+            for j, h in enumerate(spark_model.vocab)
+            if spark_model.log_probs[i, j] != np.float32(np.log(1e-6))
+        }
+        assert set(got) == set(per), f"{lang}: vocab mismatch"
+        for h in per:
+            assert got[h] == pytest.approx(per[h], abs=1e-6), (lang, h)
+
+
+def test_salting_is_result_invariant(spark, corpus_pdf):
+    from yalder_spark.operators.trainer import build_model_df
+
+    train_pdf = corpus_pdf[corpus_pdf["split"] == "train"][["lang", "text"]].head(400)
+    df = spark.createDataFrame(train_pdf)
+    a = build_model_df(df, n_salt=1).orderBy("lang", "ngram_hash").toPandas()
+    b = build_model_df(df, n_salt=32).orderBy("lang", "ngram_hash").toPandas()
+    assert a.equals(b)
+
+
+def test_model_roundtrip(tmp_path, spark_model):
+    from yalder_spark.operators.model import LanguageModel
+
+    p = str(tmp_path / "model")
+    spark_model.save(p)
+    loaded = LanguageModel.load(p)
+    assert loaded.langs == spark_model.langs
+    assert np.array_equal(loaded.vocab, spark_model.vocab)
+    assert np.array_equal(loaded.log_probs, spark_model.log_probs)
+    assert loaded.meta["n"] == 4

@@ -1,0 +1,1 @@
+"""yalder_spark — PySpark-native language-ID + quality-filter engine."""

@@ -1,0 +1,172 @@
+"""Deterministic fixture generators (FIXTURES.md §B) — seeded, no
+external data, no network.
+
+B1 ``repos``  — the input-hint-shaped source-code table
+               (repo, path, commit, lang, content) with controlled
+               injections (PII, toxicity, autogen markers, long lines,
+               low-alpha rows, empty rows) recorded in sidecar columns.
+B2 ``corpus`` — multilingual langid train/eval corpus (Leipzig/EuroParl
+               proxy): 5 languages with disjoint word/char distributions.
+
+Everything flows from ``random.Random(seed)`` with a FIXED generation
+order — same seed, same bytes, forever (goldens depend on it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pandas as pd
+
+LANGS = ("de", "en", "es", "fr", "zh")
+
+_VOCAB = {
+    "en": ("the quick brown fox jumps over lazy dog while morning light spreads "
+           "across quiet valley and river bends toward distant hills where old "
+           "trees keep their silent watch through every season of change people "
+           "gather stories from small towns and carry them along winding roads "
+           "builders measure twice cut once then raise strong walls against wind").split(),
+    "de": ("der die das und ist nicht über für schön müssen zwischen während "
+           "gestern morgen vielleicht immer wieder zusammen arbeiten wichtig "
+           "entwicklung geschwindigkeit verantwortung freundschaft wissenschaft "
+           "straße grün früh spät könnte sollte würde natürlich eigentlich "
+           "gemeinsam erfahrung möglichkeit umgebung verständnis aufmerksam").split(),
+    "fr": ("le la les et est ne pas très beau aujourd'hui demain toujours "
+           "peut-être ensemble travailler important développement vitesse "
+           "responsabilité amitié science rue vert tôt tard pourrait devrait "
+           "naturellement vraiment expérience possibilité environnement "
+           "compréhension attention château fenêtre garçon déjà après avant").split(),
+    "es": ("el la los y es no muy hermoso hoy mañana siempre quizás juntos "
+           "trabajar importante desarrollo velocidad responsabilidad amistad "
+           "ciencia calle verde temprano tarde podría debería naturalmente "
+           "realmente experiencia posibilidad entorno comprensión atención "
+           "castillo ventana niño ya después antes pequeño grande ciudad").split(),
+}
+# fixed CJK codepoint pool for zh (deterministic, disjoint from latin);
+# a FIXED word vocabulary is derived from it once so zh has the same
+# repeated-word structure as the other languages (a fully random char
+# salad would make every 4-gram unseen and undetectable)
+_ZH_POOL = [chr(c) for c in range(0x4E00, 0x4E00 + 160)]
+_zh_rng = random.Random(7)
+_ZH_WORDS = ["".join(_zh_rng.choice(_ZH_POOL) for _ in range(_zh_rng.randint(1, 3)))
+             for _ in range(90)]
+
+PROG_LANGS = ("py", "java", "js", "go", "md")
+_CODE_TMPL = {
+    "py": "def handler_{i}(value):\n    # {c}\n    total = value * 3\n    return total\n",
+    "java": "public int compute{i}(int v) {{\n    // {c}\n    return v + {i};\n}}\n",
+    "js": "function render{i}(node) {{\n  // {c}\n  return node.value;\n}}\n",
+    "go": "func Process{i}(v int) int {{\n\t// {c}\n\treturn v * 2\n}}\n",
+    "md": "## Section {i}\n\n{c}\n\nSome further prose about the module here.\n",
+}
+
+
+def sentence(rng: random.Random, lang: str, lo: int = 6, hi: int = 22) -> str:
+    n = rng.randint(lo, hi)
+    if lang == "zh":
+        words = [rng.choice(_ZH_WORDS) for _ in range(n)]
+    else:
+        words = [rng.choice(_VOCAB[lang]) for _ in range(n)]
+    return " ".join(words)
+
+
+def gen_corpus(n_per_lang: int = 1000, seed: int = 42) -> pd.DataFrame:
+    """B2 — (lang, text, split).  split: test iff md5(text) % 10 == 0."""
+    rng = random.Random(seed)
+    rows = []
+    for lang in LANGS:
+        for _ in range(n_per_lang):
+            t = sentence(rng, lang)
+            h = int(hashlib.md5(t.encode()).hexdigest(), 16)
+            rows.append((lang, t, "test" if h % 10 == 0 else "train"))
+    return pd.DataFrame(rows, columns=["lang", "text", "split"])
+
+
+def _commit(repo: str, path: str, seed: int) -> str:
+    return hashlib.sha1(f"{repo}/{path}@{seed}".encode()).hexdigest()
+
+
+def gen_repos(n_rows: int = 500, seed: int = 42, n_orgs: int = 8) -> pd.DataFrame:
+    """B1 — (repo, path, commit, lang, content) + sidecar expectation
+    columns (nat_lang, inj_pii, inj_tox, inj_autogen, inj_longline,
+    inj_lowalpha, inj_empty).
+
+    Repo sizes are Zipf-ish: repo index drawn as int(n_repos * rng.random()**3)
+    so repo 0 is a 'monster' (partition-skew fixture).  Natural-language
+    comment text is en-dominant (~60%) with de/fr/es/zh minorities.
+    """
+    rng = random.Random(seed + 1)
+    rows = []
+    n_repos = max(4, n_rows // 25)
+    for i in range(n_rows):
+        repo = f"org{rng.randrange(n_orgs)}/repo{int(n_repos * rng.random() ** 3)}"
+        plang = rng.choice(PROG_LANGS)
+        path = f"src/pkg{rng.randrange(20)}/file{i}.{plang}"
+        nat = rng.choices(LANGS, weights=[8, 60, 8, 8, 16])[0]
+
+        blocks = []
+        for b in range(rng.randint(1, 6)):
+            blocks.append(_CODE_TMPL[plang].format(i=b, c=sentence(rng, nat)))
+        content = "\n".join(blocks)
+
+        inj = {"inj_pii": 0, "inj_tox": 0, "inj_autogen": False,
+               "inj_longline": False, "inj_lowalpha": False, "inj_empty": False}
+        roll = rng.random()
+        if roll < 0.04:
+            inj["inj_empty"] = True
+            content = rng.choice(["", "12345 6789 000", "!!! ??? ... 42"])
+        elif roll < 0.10:
+            k = rng.randint(1, 3)
+            inj["inj_pii"] = k
+            bits = []
+            for _ in range(k):
+                kind = rng.randrange(3)
+                if kind == 0:
+                    bits.append(f"contact: user{rng.randrange(99)}@example.com")
+                elif kind == 1:
+                    bits.append(f"host = 10.{rng.randrange(256)}.{rng.randrange(256)}.{rng.randrange(250)}")
+                else:
+                    bits.append("key = AKIA" + "".join(rng.choice("ABCDEFGHJKLMNPQRSTUVWXYZ234567") for _ in range(16)))
+            content = content + "\n# " + " ".join(bits) + "\n"
+        elif roll < 0.16:
+            from yalder_spark.functions.quality import TOX_WORDS
+            k = rng.randint(1, 2)
+            inj["inj_tox"] = k
+            content = content + "\n# this code is " + " and ".join(rng.choice(TOX_WORDS) for _ in range(k)) + "\n"
+        elif roll < 0.22:
+            inj["inj_autogen"] = True
+            content = "# DO NOT EDIT - generated by fixture-gen\n" + content
+        elif roll < 0.27:
+            inj["inj_longline"] = True
+            content = content + " ".join(rng.choice(_VOCAB["en"]) for _ in range(260)) + "\n"
+        elif roll < 0.33:
+            inj["inj_lowalpha"] = True
+            filler = " ".join(f"{rng.choice('xyzw')}{rng.randrange(10)}={rng.randrange(99999)};#{rng.randrange(99999)}"
+                              for _ in range(60))
+            content = content + filler + "\n"
+
+        rows.append((repo, path, _commit(repo, path, seed), plang, content,
+                     nat, inj["inj_pii"], inj["inj_tox"], inj["inj_autogen"],
+                     inj["inj_longline"], inj["inj_lowalpha"], inj["inj_empty"]))
+    return pd.DataFrame(rows, columns=[
+        "repo", "path", "commit", "lang", "content", "nat_lang", "inj_pii",
+        "inj_tox", "inj_autogen", "inj_longline", "inj_lowalpha", "inj_empty"])
+
+
+def repos_input(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Strip sidecar columns -> the exact input_hint schema."""
+    return pdf[["repo", "path", "commit", "lang", "content"]].copy()
+
+
+def gen_ppl_corpus(seed: int = 42, n: int = 800) -> list[str]:
+    """Training text for the single-'language' quality LM (Q1): clean
+    English sentences + clean code templates, so normal code passes and
+    unseen-n-gram noise fails."""
+    rng = random.Random(seed + 2)
+    out = []
+    for i in range(n):
+        plang = rng.choice(PROG_LANGS)
+        out.append(_CODE_TMPL[plang].format(i=i % 7, c=sentence(rng, "en")))
+        out.append(sentence(rng, "en"))
+    return out

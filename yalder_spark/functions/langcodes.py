@@ -1,0 +1,40 @@
+"""H10 — language-code normalization (SURVEY.md §2 row H10; reference
+``LanguageLocale`` [PK-med], checkout empty — frozen local spec).
+
+Pure functions shared by the Spark pipeline and the pure-Python oracle.
+Normalizes ISO-639-1/2 codes (plus a few script variants) to a canonical
+lowercase ISO-639-1 form where one exists; unknown codes pass through
+lowercased; empty/None -> 'und'.
+"""
+
+from __future__ import annotations
+
+_ISO_639_2_TO_1 = {
+    "eng": "en", "deu": "de", "ger": "de", "fra": "fr", "fre": "fr",
+    "spa": "es", "zho": "zh", "chi": "zh", "ita": "it", "por": "pt",
+    "nld": "nl", "dut": "nl", "rus": "ru", "jpn": "ja", "kor": "ko",
+    "ara": "ar", "hin": "hi", "swe": "sv", "dan": "da", "nor": "no",
+    "fin": "fi", "pol": "pl", "tur": "tr", "ell": "el", "gre": "el",
+    "ces": "cs", "cze": "cs", "hun": "hu", "und": "und",
+}
+
+# script variants keep their suffix but with canonical casing
+_SCRIPT_VARIANTS = {
+    "zh-hans": "zh-Hans", "zh-hant": "zh-Hant",
+    "sr-latn": "sr-Latn", "sr-cyrl": "sr-Cyrl",
+}
+
+
+def normalize_lang(code: str | None) -> str:
+    """Canonicalize a language tag. 'und' for missing/empty."""
+    if code is None:
+        return "und"
+    c = code.strip().lower().replace("_", "-")
+    if not c:
+        return "und"
+    if c in _SCRIPT_VARIANTS:
+        return _SCRIPT_VARIANTS[c]
+    base = c.split("-", 1)[0]
+    if len(base) == 3 and base in _ISO_639_2_TO_1:
+        return _ISO_639_2_TO_1[base]
+    return c if "-" in c else base

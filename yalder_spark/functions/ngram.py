@@ -1,0 +1,124 @@
+"""Core n-gram machinery: normalization (H1), n-gram extraction (H2) and
+hashing (H3) — the two pure functions that define model compatibility.
+
+SURVEY.md §2 rows H1-H3. Reference behavior (kkrugler/yalder
+``HashTokenizer`` — checkout empty this session, see SURVEY.md §0) is
+re-expressed here as a frozen spec:
+
+* H1 ``normalize``: lowercase, replace every non-letter codepoint
+  (``[\\W\\d_]`` with Python/Unicode semantics) by a space, collapse runs,
+  strip.  Letters of all scripts survive (CJK included).
+* H2 n-grams: character 4-grams over ``" " + normalize(text) + " "``
+  (single-space padding so word boundaries contribute features); empty
+  normalized text yields zero n-grams.
+* H3 hash: Java ``String.hashCode``-style polynomial over Unicode
+  codepoints with signed-32-bit wraparound::
+
+      h = 0; for cp in ngram: h = (h * 31 + cp)  mod 2^32, signed
+
+Two implementations are provided and parity-tested (tests/test_ngram.py):
+a per-char pure-Python one (the oracle path, SURVEY §5.3) and a batched
+NumPy one used inside Arrow UDFs (no per-row Python in the hot loop: the
+whole Arrow batch is joined into ONE string, encoded to a UTF-32
+codepoint array once, and n-grams come from a stride-tricks sliding
+window).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+N = 4  # character n-gram order (yalder's hashed-model feature width)
+HASH_BASE = 31
+ALPHA = 1e-6  # smoothing probability for unseen n-grams (frozen spec)
+LOG_ALPHA = float(np.log(ALPHA))
+
+# [\W\d_] with Python re (unicode): everything except letters becomes space.
+_NORM_RE = re.compile(r"[\W\d_]+")
+# 3 NUL codepoints between docs: no 4-window can span two docs without
+# containing a NUL, so masking windows that touch a 0 removes exactly the
+# cross-document and separator windows.
+_SEP = "\x00\x00\x00"
+
+_B3, _B2, _B1 = HASH_BASE**3, HASH_BASE**2, HASH_BASE
+
+
+def normalize(text: str | None) -> str:
+    """H1 text normalization (pure, shared with the oracle and the
+    DuckDB oracle SQL: ``trim(regexp_replace(lower(text), '[\\W\\d_]+',
+    ' ', 'g'))`` — equivalent on ASCII; Unicode letters additionally
+    survive here)."""
+    if text is None:
+        return ""
+    return _NORM_RE.sub(" ", text.lower()).strip()
+
+
+def pad(norm: str) -> str:
+    """Padding applied before n-gramming (word-boundary features)."""
+    return f" {norm} " if norm else ""
+
+
+def hash_ngram(ngram: str) -> int:
+    """H3 reference hash, per-char pure Python (oracle path)."""
+    h = 0
+    for ch in ngram:
+        h = (h * HASH_BASE + ord(ch)) & 0xFFFFFFFF
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def ngram_hashes_one(text: str | None) -> list[int]:
+    """H1+H2+H3 for a single document, pure Python (oracle path)."""
+    padded = pad(normalize(text))
+    return [hash_ngram(padded[i : i + N]) for i in range(len(padded) - N + 1)]
+
+
+def _wrap_i32(h: np.ndarray) -> np.ndarray:
+    """Signed 32-bit wraparound on an int64 array (no overflow risk:
+    max codepoint 0x10FFFF * 31**3 * 4 < 2**38)."""
+    return ((h + 2**31) % 2**32) - 2**31
+
+
+def batch_ngram_hashes(texts: pd.Series | list) -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized H1-H3 over a batch of documents.
+
+    Returns ``(hashes int64[n_windows], doc_ids int64[n_windows], n_docs)``
+    where ``doc_ids[i]`` is the 0-based index within the batch of the
+    document that window ``i`` belongs to.  Documents with no n-grams
+    simply contribute no windows.
+    """
+    s = pd.Series(texts, dtype="object") if not isinstance(texts, pd.Series) else texts
+    n_docs = len(s)
+    if n_docs == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), 0
+    norm = (
+        s.fillna("")
+        .astype("object")
+        .str.lower()
+        .str.replace(_NORM_RE, " ", regex=True)
+        .str.strip()
+    )
+    padded = np.where(norm.to_numpy() != "", " " + norm.to_numpy(dtype=object) + " ", "")
+    big = _SEP.join(padded) + _SEP  # trailing sep keeps offsets uniform
+    codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if len(codes) < N:
+        return np.empty(0, np.int64), np.empty(0, np.int64), n_docs
+    win = np.lib.stride_tricks.sliding_window_view(codes, N)
+    valid = (win != 0).all(axis=1)
+    h = _wrap_i32(win[:, 0] * _B3 + win[:, 1] * _B2 + win[:, 2] * _B1 + win[:, 3])
+    # map window start position -> document index
+    lens = np.fromiter((len(p) for p in padded), count=n_docs, dtype=np.int64)
+    starts = np.zeros(n_docs, np.int64)
+    np.cumsum(lens[:-1] + len(_SEP), out=starts[1:])
+    pos = np.nonzero(valid)[0]
+    doc_ids = np.searchsorted(starts, pos, side="right") - 1
+    return h[pos], doc_ids, n_docs
+
+
+def ngram_count_expr_len(norm_len: int) -> int:
+    """Number of 4-gram windows for a normalized length (used by the
+    SQL-expressible oracle pair q_ngram_count): padded length is
+    norm_len + 2, windows = max(0, norm_len - 1) for norm_len >= 1."""
+    return max(0, norm_len + 2 - N + 1) if norm_len else 0

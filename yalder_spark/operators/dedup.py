@@ -1,0 +1,240 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash groupBy), MinHash+LSH, SimHash, and n-gram Jaccard
+verification.  All shingle machinery reuses the yalder 4-gram hasher
+(functions/ngram.py) so one vectorized code path feeds langid, dedup
+and fingerprinting.
+
+Scale notes (100 TB): exact dedup is one shuffle on a 64-char key;
+MinHash signatures are map-only; LSH candidate generation shuffles only
+(doc_id, band_hash) pairs — never the text; verification joins shingle
+sets only for candidate pairs (a tiny fraction).  Banding parameters
+(16 bands x 4 rows) target Jaccard ~0.7+ near-dups.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from yalder_spark.functions.ngram import batch_ngram_hashes
+
+MERSENNE = (1 << 61) - 1
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+# deterministic permutation parameters (seeded once, frozen)
+_rng = np.random.RandomState(42)
+_PERM_A = _rng.randint(1, MERSENNE, size=N_PERM, dtype=np.int64)
+_PERM_B = _rng.randint(0, MERSENNE, size=N_PERM, dtype=np.int64)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: canonical row per distinct text = the min id.
+    Shuffles only (sha256, id) pairs, never the text."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("text_sha256"),
+                  F.col(id_col))
+        .groupBy("text_sha256")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _minhash_batch(texts: pd.Series) -> np.ndarray:
+    """[n_docs, N_PERM] uint64 MinHash signatures over char-4-gram
+    shingle sets, fully vectorized (per-perm min via np.minimum.at)."""
+    hashes, doc_ids, n_docs = batch_ngram_hashes(texts)
+    sig = np.full((n_docs, N_PERM), MERSENNE, dtype=np.int64)
+    if len(hashes):
+        h = hashes.astype(np.int64)
+        for p in range(N_PERM):
+            hp = (_PERM_A[p] * (h & 0x7FFFFFFF) + _PERM_B[p]) % MERSENNE
+            np.minimum.at(sig[:, p], doc_ids, hp)
+    return sig
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, signature array<long>) — map-only."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sig = _minhash_batch(pdf[text_col])
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "signature": list(sig)})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, signature array<long>")
+
+
+def lsh_bands(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_hash) — one row per band; the only shuffled data
+    in candidate generation."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sig = _minhash_batch(pdf[text_col])
+            bands = sig.reshape(len(pdf), N_BANDS, ROWS_PER_BAND)
+            # fold each band's rows into one 63-bit hash
+            bh = np.zeros((len(pdf), N_BANDS), dtype=np.int64)
+            for r in range(ROWS_PER_BAND):
+                bh = (bh * np.int64(1000003) + bands[:, :, r]) % MERSENNE
+            ids = np.repeat(pdf[id_col].to_numpy(), N_BANDS)
+            yield pd.DataFrame({
+                id_col: ids,
+                "band": np.tile(np.arange(N_BANDS), len(pdf)),
+                "band_hash": bh.reshape(-1),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, band int, band_hash long")
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from LSH bucket
+    collisions.  Self-join on (band, band_hash); dedup across bands."""
+    b = lsh_bands(df, text_col, id_col)
+    left = b.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = b.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        ) -> DataFrame:
+    """Exact 4-gram-shingle-set Jaccard for candidate pairs: explode
+    DISTINCT shingles (set semantics), join on shingle, count
+    intersections — only candidate docs' shingles shuffle."""
+    cand_ids = (pairs.select(F.col("id_a").alias(id_col))
+                .union(pairs.select("id_b")).distinct())
+    docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes, doc_ids, _ = batch_ngram_hashes(pdf[text_col])
+            u = pd.DataFrame({"d": doc_ids, "h": hashes}).drop_duplicates()
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[u["d"].to_numpy()],
+                                "shingle": u["h"].to_numpy()})
+
+    sh = docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, shingle long")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    bb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(a, "id_a").join(bb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .fillna(0, subset=["n_inter"])
+        .join(sizes.withColumnsRenamed({id_col: "id_a", "set_size": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "set_size": "size_b"}), "id_b")
+        .withColumn("jaccard",
+                    F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", threshold: float = 0.7) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: candidates -> exact Jaccard
+    verify -> pairs above threshold."""
+    cand = minhash_lsh_candidates(df, text_col, id_col)
+    return (ngram_jaccard_pairs(df, cand, text_col, id_col)
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over char-4-gram hashes (map-only).  Near-dups
+    have small Hamming distance; pair finding bands the fingerprint
+    into 4x16-bit chunks (any chunk equal -> candidate)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes, doc_ids, n_docs = batch_ngram_hashes(pdf[text_col])
+            acc = np.zeros((n_docs, 64), dtype=np.int64)
+            if len(hashes):
+                # spread the 32-bit ngram hash to 64 bits (splitmix-style)
+                h = hashes.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                h ^= h >> np.uint64(31)
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
+                        np.uint64(1)).astype(np.int64) * 2 - 1
+                np.add.at(acc, doc_ids, bits)
+            fp = (acc > 0).astype(np.uint64)
+            val = np.zeros(n_docs, dtype=np.uint64)
+            for b in range(64):
+                val |= fp[:, b] << np.uint64(b)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "simhash": val.view(np.int64)})
+
+    return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, simhash long")
+
+
+def simhash_candidates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidates: equal 16-bit chunk in the same position."""
+    s = simhash(df, text_col, id_col)
+    chunks = s.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(0xFFFF).alias("v"))
+            for i in range(4)])).alias("c"),
+    ).select(id_col, "simhash", "c.chunk", "c.v")
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+                      "chunk", "v")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+                      "chunk", "v")
+    pairs = (a.join(b, ["chunk", "v"]).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    # hamming distance via bit_count(xor)
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).select("id_a", "id_b", "hamming")
+
+
+def embedding_neardup(emb: DataFrame, threshold: float = 0.95,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH
+    bucketing + in-bucket exact cosine (never the full cross join).
+    Buckets come from the sign pattern of 16 fixed random projections.
+    NOTE: like all LSH, recall < 1; pairs straddling a bucket boundary
+    can be missed (documented, acceptable for near-DUP at 0.95+)."""
+    from yalder_spark.operators.similarity import _hyperplanes, cosine_expr
+
+    planes = _hyperplanes(dim=64, n_planes=16, seed=42)
+
+    def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            v = np.stack(pdf[vec_col].to_numpy())
+            s = (v @ planes.T > 0).astype(np.uint64)
+            val = np.zeros(len(pdf), dtype=np.uint64)
+            for b in range(16):
+                val |= s[:, b] << np.uint64(b)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                vec_col: pdf[vec_col],
+                                "bucket_sig": val.view(np.int64)})
+
+    schema = f"{id_col} long, {vec_col} array<float>, bucket_sig long"
+    sigs = emb.select(id_col, vec_col).mapInPandas(sig, schema)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket_sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket_sig")
+    return (
+        a.join(b, "bucket_sig").filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,141 @@
+"""Detection dataflow (SURVEY.md §2.A rows H4-H8) — yalder's
+``HashLanguageDetector`` re-expressed as batched NumPy over Arrow columns
+(BASELINE.json:6,16; reference checkout empty, SURVEY §0 — semantics
+frozen here and mirrored by the pure-Python oracle).
+
+Scoring (H5/H6): the reference multiplies per-n-gram probabilities in
+probability space with periodic divide-by-max rescaling to dodge FP
+underflow.  We sum **log**-probabilities instead; rescaling-by-max is a
+constant subtraction in log space that cancels in argmax and in the
+confidence margin, so ranking is provably identical and no
+renormalization code is needed (H6 == identity in log space; see
+tests/test_detector.py::test_log_space_equals_renormalized_prob_space).
+
+Early termination (H7): the reference stops consuming n-grams once the
+leader's margin is decisive.  Batched analogue (off by default, pure
+throughput knob): score documents in chunks of C n-grams, freeze docs
+whose per-n-gram margin exceeds a threshold, keep scoring only the
+undecided mask.  Final labels must equal full-scan labels on fixtures
+(property-tested).
+
+Confidence (H8, frozen spec): with per-n-gram-normalized log scores
+``s1 >= s2`` of the best and second-best language,
+``confidence = 1 - exp(s2 - s1)`` (0 when undecidable, 1 when only one
+language exists).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from yalder_spark.functions.ngram import batch_ngram_hashes
+from yalder_spark.operators.model import LanguageModel
+
+UND = "und"
+EARLY_CHUNK = 64          # n-grams scored per round in early-exit mode
+EARLY_MIN_NGRAMS = 64     # minimum evidence before a doc may be decided
+EARLY_MARGIN = 1.5        # per-n-gram log-prob margin to declare a winner
+
+RESULT_SCHEMA = ("detected_lang string, lang_score double, "
+                 "lang_confidence double, n_ngrams long")
+
+
+def _rank(scores: np.ndarray, n_grams: np.ndarray, langs: list[str]):
+    """H8 — argmax + confidence from per-doc per-lang log-score sums."""
+    n_docs = scores.shape[1]
+    denom = np.maximum(n_grams, 1)
+    norm = scores / denom  # per-n-gram mean log-prob
+    # stable sort: exact ties (e.g. all-miss docs where every language
+    # scores n*log(alpha)) break toward the lexicographically-first lang,
+    # matching the pure-Python oracle's (-score, lang) sort.
+    order = np.argsort(-norm, axis=0, kind="stable")
+    best = order[0]
+    s1 = norm[best, np.arange(n_docs)]
+    if len(langs) > 1:
+        second = order[1]
+        s2 = norm[second, np.arange(n_docs)]
+        conf = 1.0 - np.exp(np.minimum(s2 - s1, 0.0))
+    else:
+        conf = np.ones(n_docs)
+    lang_arr = np.array(langs, dtype=object)[best]
+    empty = n_grams == 0
+    lang_arr[empty] = UND
+    s1 = np.where(empty, 0.0, s1)
+    conf = np.where(empty, 0.0, conf)
+    return lang_arr, s1, conf
+
+
+def score_batch(texts, model: LanguageModel, early_exit: bool = False) -> pd.DataFrame:
+    """H4+H5+H8 over one Arrow batch: returns a DataFrame with columns
+    (detected_lang, lang_score, lang_confidence, n_ngrams) aligned with
+    the input order."""
+    hashes, doc_ids, n_docs = batch_ngram_hashes(texts)
+    n_grams = np.bincount(doc_ids, minlength=n_docs).astype(np.int64)
+    if early_exit:
+        scores, n_used = _score_early_exit(hashes, doc_ids, n_docs, model)
+    else:
+        lp = model.lookup(hashes)  # [n_langs, n_windows]
+        scores = np.empty((model.n_langs, n_docs))
+        for i in range(model.n_langs):
+            scores[i] = np.bincount(doc_ids, weights=lp[i], minlength=n_docs)
+        n_used = n_grams
+    lang, s, conf = _rank(scores, n_used, model.langs)
+    return pd.DataFrame(
+        {"detected_lang": lang, "lang_score": s,
+         "lang_confidence": conf, "n_ngrams": n_grams}
+    )
+
+
+def _score_early_exit(hashes, doc_ids, n_docs, model: LanguageModel):
+    """H7 — chunked scoring with per-doc freeze once the margin is
+    decisive.  Saves model-lookup + gather work on long, easy documents;
+    labels must match the full scan (property-tested)."""
+    scores = np.zeros((model.n_langs, n_docs))
+    seen = np.zeros(n_docs, np.int64)
+    undecided = np.ones(n_docs, bool)
+    if len(hashes) == 0:
+        return scores, seen
+    # within-doc ordinal of each window
+    starts = np.searchsorted(doc_ids, np.arange(n_docs), side="left")
+    ordinal = np.arange(len(doc_ids)) - starts[doc_ids]
+    max_ord = int(ordinal.max())
+    for lo in range(0, max_ord + 1, EARLY_CHUNK):
+        live = undecided[doc_ids] & (ordinal >= lo) & (ordinal < lo + EARLY_CHUNK)
+        if not live.any():
+            if not undecided.any():
+                break
+            continue
+        lp = model.lookup(hashes[live])
+        ids = doc_ids[live]
+        for i in range(model.n_langs):
+            scores[i] += np.bincount(ids, weights=lp[i], minlength=n_docs)
+        seen += np.bincount(ids, minlength=n_docs)
+        if model.n_langs > 1:
+            part = np.sort(scores, axis=0)
+            margin = (part[-1] - part[-2]) / np.maximum(seen, 1)
+            undecided &= ~((seen >= EARLY_MIN_NGRAMS) & (margin > EARLY_MARGIN))
+    return scores, seen
+
+
+def detect_langs(df: DataFrame, model: LanguageModel, text_col: str = "text",
+                 early_exit: bool = False) -> DataFrame:
+    """Attach (detected_lang, lang_score, lang_confidence, n_ngrams) to
+    every row of ``df`` via a single mapInPandas stage (one Python/Arrow
+    boundary crossing per batch; embarrassingly parallel — no shuffle).
+
+    The model artifact is a few MB and rides the task closure (pickled
+    once per task via Spark's broadcast-backed task serialization).
+    """
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{out_schema}, {RESULT_SCHEMA}"
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = score_batch(pdf[text_col], model, early_exit=early_exit)
+            yield pd.concat([pdf.reset_index(drop=True), res], axis=1)
+
+    return df.mapInPandas(gen, out_schema)

@@ -1,0 +1,111 @@
+"""Language-model artifact (SURVEY.md §1.1, §2 rows T5/H4).
+
+The trained model is a small broadcastable artifact:
+
+* ``langs``      — sorted list of language codes
+* ``vocab``      — sorted ``int64`` array of n-gram hashes (union over langs)
+* ``log_probs``  — dense ``float32 [n_langs, vocab_size]``; cells for
+                   (lang, hash) pairs absent from training are
+                   ``log(ALPHA)`` (the frozen smoothing constant)
+
+Persisted as a parquet table ``(lang string, ngram_hash bigint,
+log_prob float)`` plus a JSON sidecar with build parameters — we do NOT
+replicate yalder's binary model format (deliberate, SURVEY §2 T5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from yalder_spark.functions.ngram import ALPHA, LOG_ALPHA, N
+
+SIDECAR = "model_meta.json"
+TABLE = "model.parquet"
+
+
+@dataclass
+class LanguageModel:
+    langs: list[str]
+    vocab: np.ndarray          # int64, sorted ascending
+    log_probs: np.ndarray      # float32 [n_langs, len(vocab)]
+    meta: dict = field(default_factory=dict)
+    trained: np.ndarray | None = None  # bool [n_langs, len(vocab)]
+
+    def __post_init__(self) -> None:
+        assert self.log_probs.shape == (len(self.langs), len(self.vocab))
+        assert np.all(np.diff(self.vocab) > 0), "vocab must be strictly sorted"
+        if self.trained is None:
+            # cells left at the float32 fill are untrained (a genuinely
+            # trained prob of exactly float32(log(alpha)) is measure-zero)
+            self.trained = self.log_probs != np.float32(LOG_ALPHA)
+
+    @property
+    def n_langs(self) -> int:
+        return len(self.langs)
+
+    def lookup(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized H4 model lookup: ``float64 [n_langs, len(hashes)]``
+        log-probs; hashes absent from vocab get ``log(ALPHA)`` for every
+        language.  Frozen numeric spec: STORED cells are float32 (the
+        artifact), but scoring runs in float64 with the miss fill at
+        exact float64 ``log(alpha)`` — bitwise-matching the pure-Python
+        oracle's ``per.get(h, math.log(ALPHA))``."""
+        idx = np.searchsorted(self.vocab, hashes)
+        idx_c = np.minimum(idx, len(self.vocab) - 1)
+        hit = self.vocab[idx_c] == hashes
+        out = self.log_probs[:, idx_c].astype(np.float64)
+        # a hash in the vocab but untrained for THIS language is a miss
+        # (the matrix fill is float32; the miss value must be exact
+        # float64 log(alpha) to match the oracle bitwise)
+        out[~self.trained[:, idx_c]] = LOG_ALPHA
+        out[:, ~hit] = LOG_ALPHA
+        return out
+
+    # --- persistence -----------------------------------------------------
+    @classmethod
+    def from_pandas(cls, pdf: pd.DataFrame, meta: dict | None = None) -> "LanguageModel":
+        """Build from a long table ``(lang, ngram_hash, log_prob)``."""
+        langs = sorted(pdf["lang"].unique().tolist())
+        vocab = np.sort(pdf["ngram_hash"].unique().astype(np.int64))
+        mat = np.full((len(langs), len(vocab)), LOG_ALPHA, dtype=np.float32)
+        li = {l: i for i, l in enumerate(langs)}
+        rows = pdf["lang"].map(li).to_numpy()
+        cols = np.searchsorted(vocab, pdf["ngram_hash"].to_numpy(np.int64))
+        mat[rows, cols] = pdf["log_prob"].to_numpy(np.float32)
+        return cls(langs, vocab, mat, dict(meta or {}))
+
+    def to_pandas(self) -> pd.DataFrame:
+        """Long-form (lang, ngram_hash, log_prob) — only trained cells."""
+        frames = []
+        for i, lang in enumerate(self.langs):
+            m = self.trained[i]
+            frames.append(
+                pd.DataFrame(
+                    {"lang": lang, "ngram_hash": self.vocab[m],
+                     "log_prob": self.log_probs[i][m]}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(self.to_pandas(), preserve_index=False),
+                       os.path.join(path, TABLE))
+        meta = {"n": N, "alpha": ALPHA, "langs": self.langs,
+                "vocab_size": int(len(self.vocab)), **self.meta}
+        with open(os.path.join(path, SIDECAR), "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+
+    @classmethod
+    def load(cls, path: str) -> "LanguageModel":
+        pdf = pq.read_table(os.path.join(path, TABLE)).to_pandas()
+        with open(os.path.join(path, SIDECAR)) as f:
+            meta = json.load(f)
+        return cls.from_pandas(pdf, meta)

@@ -1,0 +1,130 @@
+"""Relational/utility operators the pipeline uses (SURVEY.md §2.E rows
+R1-R7), expressed as plain declarative DataFrame plans so Catalyst gets
+full pushdown/pruning/join-selection freedom.  Each has a matching
+DuckDB oracle SQL in ``__spark_entry__.py``.
+
+These run on the driver's TPC-H-ish testdata tables; at production
+scale the same shapes back the pipeline: R2 is T2's aggregate, R3 is
+T4's pruning window, R4 is T3's totals join, R5 is S2's resume
+anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 — filter + project; predicate and column pruning reach the
+    parquet scan (verified via explain in tests)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.02))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_discount")
+    )
+
+
+def q_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 — TPC-H Q1-shaped hash aggregate with map-side combine."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 — top-3 parts per brand by retail price (T4's pruning shape).
+    Deterministic tiebreak on p_partkey."""
+    p = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 — dims broadcast into the fact side (no shuffle of customer)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.sum("c_acctbal").alias("total_acctbal"))
+        .orderBy("r_name")
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 — customers without orders (S2's resume anti-join shape)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5b — EXISTS (left semi)."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 — global top-10 (TakeOrderedAndProject, no full sort)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 — union of two corpora shapes (T1 multi-source ingest)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.col("c_nationkey").alias("nationkey"),
+        F.lit("customer").alias("kind"))
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("kind"))
+    return (
+        c.unionByName(s).groupBy("kind", "nationkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy("kind", "nationkey")
+    )
+
+
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4b — fact-to-fact join + agg: revenue per order priority."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy("o_orderpriority")
+    )

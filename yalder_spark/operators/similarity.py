@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k, JVM-side arithmetic only
+  (``zip_with`` + ``aggregate`` higher-order functions; no Python in the
+  scoring path), finished with a global TakeOrdered(k) — the baseline.
+* ``lsh_topk``      — random-hyperplane LSH-bucketed approximate top-k:
+  probe only buckets within a small Hamming radius of the query's
+  bucket — the 100 TB scale path (touches a tiny fraction of rows).
+* ``ivf_topk``      — IVF-style: k-means-lite centroids (seeded sample,
+  driver-side NumPy — the "training" is small), assign partitions by
+  nearest centroid, probe the ``n_probe`` closest centroids.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity of two array<float> columns in pure Spark SQL
+    (double precision, whole-stage-codegen'd — UDF-free)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    zero = F.lit(0.0)
+    dot = F.aggregate(F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+                      zero, lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(ca, zero, lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(cb, zero, lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)
+
+
+def cosine_to_query(vec_col: str, query: list[float]) -> Column:
+    q = [float(x) for x in query]
+    qn = float(np.sqrt(sum(x * x for x in q)))
+    arr = F.array(*[F.lit(x) for x in q])
+    zero = F.lit(0.0)
+    dot = F.aggregate(F.zip_with(F.col(vec_col), arr,
+                                 lambda x, y: x.cast("double") * y),
+                      zero, lambda acc, x: acc + x)
+    n = F.sqrt(F.aggregate(F.col(vec_col), zero,
+                           lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (n * F.lit(qn))
+
+
+def brute_force_topk(emb: DataFrame, query: list[float], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     ) -> DataFrame:
+    """Exact cosine top-k: map-only scoring + TakeOrderedAndProject(k)
+    (each partition keeps its local top-k; no global sort/shuffle of
+    scores).  Deterministic tiebreak on id."""
+    return (
+        emb.select(id_col, cosine_to_query(vec_col, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_topk(emb: DataFrame, query: list[float], k: int = 10,
+             n_planes: int = 12, hamming_radius: int = 2, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: score only rows whose hyperplane-sign bucket
+    is within ``hamming_radius`` of the query's bucket.  The probe
+    bucket set is tiny and broadcast; at scale the bucket column would
+    be precomputed + partitioned on, making this a partition-pruned
+    scan."""
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = int(((np.asarray(query, np.float64) @ planes.T) > 0)
+               .astype(np.uint64).dot(1 << np.arange(n_planes, dtype=np.uint64)))
+
+    # all bucket ids within the Hamming radius (sum of C(n_planes, r))
+    probes = {qsig}
+    frontier = {qsig}
+    for _ in range(hamming_radius):
+        frontier = {s ^ (1 << b) for s in frontier for b in range(n_planes)}
+        probes |= frontier
+
+    def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s = (v @ planes.T > 0).astype(np.uint64)
+            val = s.dot(1 << np.arange(n_planes, dtype=np.uint64))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                vec_col: pdf[vec_col],
+                                "bucket_sig": val.view(np.int64)})
+
+    schema = f"{id_col} long, {vec_col} array<float>, bucket_sig long"
+    sigs = emb.select(id_col, vec_col).mapInPandas(sig, schema)
+    probe_lit = [int(np.uint64(p).view(np.int64) if hasattr(np.uint64(p), 'view')
+                 else p) for p in probes]
+    return (
+        sigs.filter(F.col("bucket_sig").isin(probe_lit))
+        .select(id_col, cosine_to_query(vec_col, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(emb: DataFrame, query: list[float], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: centroids from a seeded sample (driver-side
+    mini-kmeans, a few KB), rows assigned to nearest centroid inside a
+    vectorized UDF, query probes the ``n_probe`` nearest centroid cells
+    only.  At scale the assignment is precomputed and the cell id is a
+    partition column -> partition-pruned scan."""
+    sample = np.stack(
+        emb.select(vec_col).limit(2048).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                             replace=False)]
+    for _ in range(8):  # lloyd iterations on the sample
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(0)
+
+    q = np.asarray(query, np.float64)
+    probe_cells = np.argsort(((cent - q) ** 2).sum(1))[:n_probe].tolist()
+
+    def assign_cells(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                vec_col: pdf[vec_col],
+                                "cell": d.argmin(1).astype(np.int32)})
+
+    schema = f"{id_col} long, {vec_col} array<float>, cell int"
+    cells = emb.select(id_col, vec_col).mapInPandas(assign_cells, schema)
+    return (
+        cells.filter(F.col("cell").isin(probe_cells))
+        .select(id_col, cosine_to_query(vec_col, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

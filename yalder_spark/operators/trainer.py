@@ -1,0 +1,117 @@
+"""Model-building dataflow (SURVEY.md §2.B rows T1-T5) — the Spark-first
+re-expression of yalder's ``ModelBuilder`` (reference checkout empty,
+SURVEY §0; behavior anchored to BASELINE.json:6 "groupBy(lang) n-gram
+frequency aggregation with salted keys to defuse skew from dominant
+languages").
+
+Dataflow::
+
+    corpus (lang, text)
+      -> mapInPandas: explode batched 4-gram hashes   (H2/H3, one Arrow
+         crossing per batch, flattened — no array<bigint> materialization)
+      -> phase 1: groupBy(lang, ngram_hash, salt).count()       [shuffle 1]
+      -> phase 2: groupBy(lang, ngram_hash).sum(cnt)            [shuffle 2, small]
+      -> totals per lang (broadcast join back)                  (T3)
+      -> prune: count >= min_count AND top-K per lang by count  (T4, window)
+      -> log_prob = log(count / total)                          (T3)
+
+The salt spreads a hot (lang, ngram_hash) pair across SALT partial
+groups; it is derived from the *row*, not the key (pmod(crc32(doc key))),
+so identical keys from different docs land in different partial groups.
+Spark's hash-aggregate already does map-side partial aggregation; the
+explicit two-phase salt additionally bounds the size of any single
+reduce-side group at 100 TB scale (dominant-language skew, BJ:6) and is
+result-invariant — the DuckDB oracle ignores salting and must agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Window as W
+
+from yalder_spark.functions.ngram import batch_ngram_hashes
+from yalder_spark.operators.model import LanguageModel
+
+DEFAULT_SALT = 16
+DEFAULT_MIN_COUNT = 2
+DEFAULT_TOP_K = 20000
+
+_EXPLODE_SCHEMA = "lang string, ngram_hash long"
+
+
+def explode_ngram_hashes(df: DataFrame, text_col: str = "text",
+                         lang_col: str = "lang") -> DataFrame:
+    """H2+H3 as a mapInPandas stage: (lang, text) -> (lang, ngram_hash),
+    one output row per 4-gram occurrence.  Column pruning: only the two
+    needed columns enter the Python worker."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes, doc_ids, _ = batch_ngram_hashes(pdf[text_col])
+            yield pd.DataFrame(
+                {"lang": pdf[lang_col].to_numpy()[doc_ids], "ngram_hash": hashes}
+            )
+
+    return df.select(lang_col, text_col).mapInPandas(gen, _EXPLODE_SCHEMA)
+
+
+def ngram_counts(df: DataFrame, text_col: str = "text", lang_col: str = "lang",
+                 n_salt: int = DEFAULT_SALT) -> DataFrame:
+    """T2 — salted two-phase (lang, ngram_hash) frequency count.
+    Returns (lang, ngram_hash, cnt)."""
+    exploded = explode_ngram_hashes(df, text_col, lang_col)
+    # row-derived salt: spreads hot keys across n_salt partial groups
+    salted = exploded.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
+    )
+    phase1 = salted.groupBy("lang", "ngram_hash", "_salt").count()
+    return (
+        phase1.groupBy("lang", "ngram_hash")
+        .agg(F.sum("count").alias("cnt"))
+    )
+
+
+def build_model_df(df: DataFrame, text_col: str = "text", lang_col: str = "lang",
+                   n_salt: int = DEFAULT_SALT, min_count: int = DEFAULT_MIN_COUNT,
+                   top_k: int = DEFAULT_TOP_K) -> DataFrame:
+    """T2+T3+T4 — returns the long-form model table
+    (lang, ngram_hash, log_prob float, cnt).
+
+    Probabilities are normalized by the language's TOTAL n-gram count
+    (pre-pruning), so pruning only removes rows, never changes surviving
+    probabilities — this makes salting/pruning order result-invariant
+    and matches the pure-Python oracle exactly.
+    """
+    counts = ngram_counts(df, text_col, lang_col, n_salt)
+    totals = counts.groupBy("lang").agg(F.sum("cnt").alias("total"))  # ~n_langs rows
+    w = W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("ngram_hash"))
+    pruned = (
+        counts.filter(F.col("cnt") >= min_count)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )
+    return (
+        pruned.join(F.broadcast(totals), "lang")
+        .withColumn("log_prob", F.log(F.col("cnt") / F.col("total")).cast("float"))
+        .select("lang", "ngram_hash", "log_prob", "cnt")
+    )
+
+
+def train(spark_df: DataFrame, text_col: str = "text", lang_col: str = "lang",
+          n_salt: int = DEFAULT_SALT, min_count: int = DEFAULT_MIN_COUNT,
+          top_k: int = DEFAULT_TOP_K, meta: dict | None = None) -> LanguageModel:
+    """T1-T5 end to end: train and collect the broadcastable artifact.
+    The model is a few MB (top_k per lang), safe to collect."""
+    model_pdf = (
+        build_model_df(spark_df, text_col, lang_col, n_salt, min_count, top_k)
+        .select("lang", "ngram_hash", "log_prob")
+        .toPandas()
+    )
+    m = dict(meta or {})
+    m.setdefault("min_count", min_count)
+    m.setdefault("top_k", top_k)
+    return LanguageModel.from_pandas(model_pdf, m)

@@ -1,0 +1,122 @@
+"""Pure-Python, per-row oracle for the whole pipeline (SURVEY.md §5.3).
+
+This is the correctness anchor in lieu of the (empty — SURVEY §0)
+reference checkout: a dead-simple, loop-based implementation of H1-H8 +
+Q1-Q8 whose outputs are frozen as goldens; the vectorized Spark pipeline
+must match it exactly (labels, scores, scrubbed text, hashes).  It plays
+the role of yalder's text-model debug path (H9): slow, obvious, trusted.
+
+It deliberately shares ONLY the frozen constants/pure functions
+(normalize/hash, regex rules, FilterConfig) with the production code —
+scoring, ranking, perplexity and the decision chain are re-derived
+per-row with plain Python loops and dicts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from yalder_spark.functions.ngram import ALPHA, ngram_hashes_one
+from yalder_spark.functions.quality import heuristics_one, scrub_one
+from yalder_spark.operators.filter import FilterConfig
+
+UND = "und"
+
+
+def train_oracle_model(rows: list[tuple[str, str]], min_count: int = 2,
+                       top_k: int = 20000) -> dict[str, dict[int, float]]:
+    """ModelBuilder semantics, per-row: rows are (lang, text); returns
+    {lang: {ngram_hash: log_prob}} with probs normalized by the lang's
+    PRE-pruning total and pruned to count>=min_count, top_k by
+    (count desc, hash asc)."""
+    counts: dict[str, dict[int, int]] = {}
+    for lang, text in rows:
+        per = counts.setdefault(lang, {})
+        for h in ngram_hashes_one(text):
+            per[h] = per.get(h, 0) + 1
+    model: dict[str, dict[int, float]] = {}
+    for lang, per in counts.items():
+        total = sum(per.values())
+        kept = sorted(
+            ((h, c) for h, c in per.items() if c >= min_count),
+            key=lambda hc: (-hc[1], hc[0]),
+        )[:top_k]
+        # float32 round-trip to match the Spark model artifact exactly
+        import numpy as np
+        model[lang] = {h: float(np.float32(math.log(c / total))) for h, c in kept}
+    return model
+
+
+def detect_one(text: str, model: dict[str, dict[int, float]]):
+    """H4-H8 per-row: returns (detected_lang, lang_score, lang_confidence,
+    n_ngrams)."""
+    hashes = ngram_hashes_one(text)
+    n = len(hashes)
+    langs = sorted(model)
+    if n == 0:
+        return UND, 0.0, 0.0, 0
+    log_alpha = math.log(ALPHA)
+    norm = {}
+    for lang in langs:
+        per = model[lang]
+        norm[lang] = sum(per.get(h, log_alpha) for h in hashes) / n
+    ranked = sorted(langs, key=lambda l: (-norm[l], l))
+    best = ranked[0]
+    s1 = norm[best]
+    if len(langs) > 1:
+        s2 = norm[ranked[1]]
+        conf = 1.0 - math.exp(min(s2 - s1, 0.0))
+    else:
+        conf = 1.0
+    return best, s1, conf, n
+
+
+def perplexity_one(text: str, ppl_model: dict[str, dict[int, float]]) -> float:
+    """Q1 per-row under the single-'language' quality LM."""
+    (qlang,) = ppl_model.keys()
+    per = ppl_model[qlang]
+    hashes = ngram_hashes_one(text)
+    if not hashes:
+        return math.inf
+    log_alpha = math.log(ALPHA)
+    return math.exp(-sum(per.get(h, log_alpha) for h in hashes) / len(hashes))
+
+
+def filter_one(row: dict, model, ppl_model, config: FilterConfig | None = None) -> dict:
+    """Full per-row pipeline: H1-H8 + Q1-Q8 with the frozen Q7 rule
+    order.  ``row`` needs at least a 'content' key; other keys pass
+    through."""
+    config = config or FilterConfig()
+    content = row.get("content") or ""
+    lang, score, conf, n = detect_one(content, model)
+    ppl = perplexity_one(content, ppl_model)
+    mean_len, max_len, ratio, autogen = heuristics_one(content)
+    scrubbed, pii, tox = scrub_one(content)
+
+    reason = None
+    if n == 0:
+        reason = "empty"
+    elif lang not in config.allow_langs:
+        reason = "lang"
+    elif ppl > config.max_perplexity:
+        reason = "perplexity"
+    elif max_len > config.max_line_len or mean_len > config.max_mean_line_len:
+        reason = "long_lines"
+    elif ratio < config.min_alpha_ratio:
+        reason = "low_alpha"
+    elif autogen:
+        reason = "autogen"
+    keep = reason is None
+
+    out = {k: v for k, v in row.items() if k != "content"}
+    out.update({
+        "content_sha256": hashlib.sha256(content.encode("utf-8")).hexdigest(),
+        "detected_lang": lang, "lang_score": score, "lang_confidence": conf,
+        "perplexity": ppl, "q_mean_line_len": mean_len,
+        "q_max_line_len": max_len, "q_alpha_ratio": ratio,
+        "q_autogen": autogen, "pii_hits": pii, "tox_hits": tox,
+        "keep": keep, "drop_reason": reason,
+        "scrubbed_text": scrubbed if keep else None,
+    })
+    return out

@@ -1,0 +1,129 @@
+"""End-to-end quality-filter job (SURVEY.md §3.3, the flagship):
+
+    scan (S1) -> anti-join committed buckets (S2, broadcast)
+      -> repartition by repo bucket (S3, the one shuffle)
+      -> fused mapInPandas: H1-H8 + Q1-Q8 in one pass (filter.py)
+      -> staged per-bucket parquet write + atomic commit + manifest (S2)
+      -> per-bucket keep/drop/scrub metrics + lineage (native agg)
+
+Designed for a 1000-executor cluster: the only shuffle is the bucket
+repartition (needed so each output bucket is written by one task group
+and commits atomically); detection/filtering is map-only; the metrics
+aggregation reuses the same bucket partitioning (no second shuffle of
+the wide data — it groups on the already-partitioned ``bucket`` key).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from yalder_spark.operators.filter import FilterConfig, quality_filter
+from yalder_spark.operators.model import LanguageModel
+from yalder_spark.sources import io as yio
+
+DEFAULT_BUCKETS = 16
+
+
+def build_session(app: str = "yalder-pipeline", master: str | None = None,
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    """SparkSession with the AQE/Arrow confs from SURVEY §4 — explicit
+    AQE shuffle tuning (BASELINE.json:6) and Arrow batch sizing for
+    multi-MB ``content`` values."""
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    )
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b.getOrCreate()
+
+
+def run_filter(spark: SparkSession, input_path: str, output_path: str,
+               model: LanguageModel | str, ppl_model: LanguageModel | str,
+               config: FilterConfig | None = None,
+               n_buckets: int = DEFAULT_BUCKETS,
+               input_format: str = "parquet") -> dict:
+    """Run (or resume) the filter job.  Returns the run report dict
+    (also persisted as ``<output>/_runs/<run_id>.json``)."""
+    if isinstance(model, str):
+        model = LanguageModel.load(model)
+    if isinstance(ppl_model, str):
+        ppl_model = LanguageModel.load(ppl_model)
+    config = config or FilterConfig()
+    run_id = uuid.uuid4().hex[:12]
+
+    src = yio.read_source(spark, input_path, input_format)
+    bucketed = yio.with_bucket(src, n_buckets)
+    todo = yio.skip_committed(bucketed, spark, output_path)
+
+    # S3: co-locate each bucket; content rows are fat, so spread the
+    # buckets over tasks by (bucket) — AQE coalesces small ones.
+    todo = todo.repartition(n_buckets, "bucket")
+
+    filtered = quality_filter(
+        todo, model, ppl_model, config,
+        key_cols=("repo", "path", "commit", "lang", "bucket"),
+    )
+
+    lineage = {
+        "run_id": run_id,
+        "input": input_path,
+        "input_files": sorted(src.inputFiles()),
+        "model_version": model.meta.get("version", "unversioned"),
+        "model_langs": model.langs,
+        "config": {k: getattr(config, k) for k in
+                   ("allow_langs", "max_perplexity", "max_line_len",
+                    "max_mean_line_len", "min_alpha_ratio")},
+        "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+    }
+    committed = yio.write_buckets(filtered, output_path, lineage)
+
+    # per-bucket metrics over what this run committed (reads the small
+    # committed output back — pruned to the metric columns only)
+    report = {**lineage, "committed_buckets": committed, "metrics": []}
+    if committed:
+        out = yio.read_output(spark, output_path)
+        m = (
+            out.filter(F.col("bucket").isin(committed))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_in"),
+                F.sum(F.col("keep").cast("long")).alias("n_keep"),
+                F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
+                F.sum((F.col("pii_hits") + F.col("tox_hits") > 0).cast("long")
+                      ).alias("n_scrubbed"),
+            )
+            .orderBy("bucket")
+        )
+        reasons = (
+            out.filter(F.col("bucket").isin(committed) & ~F.col("keep"))
+            .groupBy("bucket", "drop_reason").count().orderBy("bucket")
+        ).collect()
+        rmap: dict[int, dict] = {}
+        for r in reasons:
+            rmap.setdefault(r["bucket"], {})[r["drop_reason"]] = r["count"]
+        for row in m.collect():
+            d = row.asDict()
+            d["drop_reason_counts"] = rmap.get(row["bucket"], {})
+            report["metrics"].append(d)
+
+    runs_dir = os.path.join(output_path, "_runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    with open(os.path.join(runs_dir, f"{run_id}.json"), "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True, default=str)
+    return report

@@ -1,0 +1,133 @@
+"""Sources, sinks and resume state (SURVEY.md §2.D rows S1-S3).
+
+Production design: Iceberg table in, checkpointed Iceberg table out with
+snapshot-based commit.  Sandbox has no iceberg-spark-runtime jar and no
+network (SURVEY §0/[ENV]), so the same contract is implemented over a
+parquet directory plus a JSON manifest standing in for Iceberg snapshot
+metadata; the format is a config switch behind this module.
+
+Resume protocol (S2, BASELINE.json:6 "checkpointed … resumes
+idempotently"):
+
+* work is partitioned into ``n_buckets`` repo-hash buckets
+  (``pmod(crc32(repo), n_buckets)`` — a whole repo lands in one bucket);
+* one Spark write job stages ALL uncommitted buckets under
+  ``<out>/_staging/<run_id>/bucket=<k>/``;
+* each bucket directory is atomically renamed into the final location
+  and appended to ``<out>/_manifest.json`` (write-temp-then-rename, so a
+  kill mid-commit leaves either the old or the new manifest);
+* on restart, committed buckets are skipped via a broadcast LEFT ANTI
+  join against the manifest — no duplicates, no loss, byte-stable
+  output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MANIFEST = "_manifest.json"
+
+
+def read_source(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """S1 — source scan.  ``fmt='iceberg'`` is the production switch
+    (requires the runtime jar); parquet is the sandbox stand-in with the
+    identical (repo, path, commit, lang, content) schema."""
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    return spark.read.parquet(path)
+
+
+def with_bucket(df: DataFrame, n_buckets: int, repo_col: str = "repo") -> DataFrame:
+    """S3 — stable repo-hash bucket column.  crc32 is deterministic
+    across sessions (unlike F.hash's seed-sensitivity concerns) and the
+    oracle can reproduce it."""
+    return df.withColumn(
+        "bucket", F.pmod(F.crc32(F.col(repo_col).cast("binary")), F.lit(n_buckets))
+    )
+
+
+def read_manifest(out_path: str) -> dict:
+    p = os.path.join(out_path, MANIFEST)
+    if not os.path.exists(p):
+        return {"committed": {}, "runs": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def committed_buckets(out_path: str) -> list[int]:
+    return sorted(int(k) for k in read_manifest(out_path)["committed"])
+
+
+def _write_manifest(out_path: str, manifest: dict) -> None:
+    p = os.path.join(out_path, MANIFEST)
+    tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, p)  # atomic on POSIX
+
+
+def skip_committed(df: DataFrame, spark: SparkSession, out_path: str) -> DataFrame:
+    """S2 resume — broadcast LEFT ANTI join against committed buckets.
+    The manifest side is tiny (≤ n_buckets rows) so this never shuffles
+    the big side."""
+    done = committed_buckets(out_path)
+    if not done:
+        return df
+    done_df = spark.createDataFrame([(b,) for b in done], "bucket int")
+    return df.join(F.broadcast(done_df), "bucket", "left_anti")
+
+
+def commit_buckets(out_path: str, staging: str, lineage: dict) -> list[int]:
+    """Atomically promote every staged bucket dir and append manifest
+    entries.  Idempotent: a bucket already committed is discarded."""
+    manifest = read_manifest(out_path)
+    committed = []
+    if os.path.isdir(staging):
+        for name in sorted(os.listdir(staging)):
+            if not name.startswith("bucket="):
+                continue
+            k = int(name.split("=", 1)[1])
+            src = os.path.join(staging, name)
+            dst = os.path.join(out_path, name)
+            if str(k) in manifest["committed"]:
+                shutil.rmtree(src)
+                continue
+            if os.path.exists(dst):
+                # promoted by a run that died before recording the commit:
+                # output is deterministic, so replacing it is safe
+                shutil.rmtree(dst)
+            os.replace(src, dst)  # atomic dir rename, same filesystem
+            manifest["committed"][str(k)] = lineage
+            committed.append(k)
+            # record after EVERY bucket so a kill loses at most the
+            # bucket whose rename/record window it hit (handled above)
+            _write_manifest(out_path, manifest)
+    manifest["runs"].append({**lineage, "buckets": committed})
+    _write_manifest(out_path, manifest)
+    shutil.rmtree(staging, ignore_errors=True)
+    return committed
+
+
+def write_buckets(df: DataFrame, out_path: str, lineage: dict) -> list[int]:
+    """Single write job staging all buckets (partitionBy), then atomic
+    per-bucket promotion.  Returns newly committed bucket ids."""
+    os.makedirs(out_path, exist_ok=True)
+    run_id = lineage.get("run_id") or uuid.uuid4().hex[:12]
+    staging = os.path.join(out_path, "_staging", run_id)
+    df.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    return commit_buckets(out_path, staging, {**lineage, "run_id": run_id})
+
+
+def read_output(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read back only COMMITTED buckets (ignores any staging leftovers)."""
+    done = committed_buckets(out_path)
+    paths = [os.path.join(out_path, f"bucket={k}") for k in done]
+    if not paths:
+        raise FileNotFoundError(f"no committed buckets under {out_path}")
+    df = spark.read.option("basePath", out_path).parquet(*paths)
+    return df
