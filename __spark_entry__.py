@@ -1,38 +1,615 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship quality-filter pipeline on sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2);
+                  each callable takes (spark, sf_dir) -> DataFrame.
+``oracle_sql()``— matching DuckDB SQL for SQL-expressible operators
+                  (column names/aliases match the Spark side exactly;
+                  double aggregates rounded identically on both sides).
+UDF-only operators (n-gram hashing, model scoring, MinHash, SimHash,
+fingerprints, multimodal) have no oracle entry -> rows-only check; their
+correctness gate is the pure-Python-oracle parity suite in tests/.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import lru_cache
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# --- shared pipeline artifacts (deterministic, fixture-trained) -----------
+
+@lru_cache(maxsize=1)
+def _models():
+    import pandas as pd
+
+    from yalder_spark.fixtures.gen import gen_corpus, gen_ppl_corpus
+    from yalder_spark.operators.model import LanguageModel
+    from yalder_spark.oracle.pure_detector import train_oracle_model
+
+    corpus = gen_corpus(n_per_lang=600, seed=42)
+    train = corpus[corpus["split"] == "train"]
+    om = train_oracle_model(list(zip(train["lang"], train["text"])))
+    rows = [(l, h, lp) for l, per in om.items() for h, lp in per.items()]
+    model = LanguageModel.from_pandas(
+        pd.DataFrame(rows, columns=["lang", "ngram_hash", "log_prob"]))
+    pm = train_oracle_model(
+        [("__quality__", t) for t in gen_ppl_corpus(seed=42)])
+    rows = [(l, h, lp) for l, per in pm.items() for h, lp in per.items()]
+    ppl = LanguageModel.from_pandas(
+        pd.DataFrame(rows, columns=["lang", "ngram_hash", "log_prob"]))
+    return model, ppl
+
+
+def _documents_as_repo_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's documents table onto the input_hint schema."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.sha2(F.concat_ws("@", "source", F.col("doc_id").cast("string")), 256
+               ).substr(1, 40).alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.col("text").alias("content"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full fused quality-filter over sf0.001 documents mapped
+    to the (repo,path,commit,lang,content) shape; returns keep/drop
+    stats per detected language (rows > 0, stable schema)."""
+    from yalder_spark.operators.filter import FilterConfig, quality_filter
+
+    model, ppl = _models()
+    src = _documents_as_repo_table(spark, "/root/testdata/sf0.001")
+    out = quality_filter(src, model, ppl, FilterConfig())
+    return (
+        out.groupBy("detected_lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.col("keep").cast("long")).alias("n_keep"),
+             F.sum((F.col("pii_hits") + F.col("tox_hits")).cast("long")
+                   ).alias("n_scrub_hits"))
+        .orderBy("detected_lang")
+    )
+
+
+# --- SQL-expressible operator queries --------------------------------------
+
+def _q_h1_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 via the real pipeline UDF path (mapInPandas batch normalize)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from yalder_spark.functions.ngram import normalize
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "norm_text": pdf["text"].map(normalize),
+            })
+
+    return d.select("doc_id", "text").mapInPandas(gen, "doc_id long, norm_text string")
+
+
+def _q_h2_ngram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 window count via the real batched UDF (count checkable in SQL)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from yalder_spark.functions.ngram import batch_ngram_hashes
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            _, doc_ids, n_docs = batch_ngram_hashes(pdf["text"])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_ngrams": np.bincount(doc_ids, minlength=n_docs).astype("int64"),
+            })
+
+    return d.select("doc_id", "text").mapInPandas(gen, "doc_id long, n_ngrams long")
+
+
+def _q_q2_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nl = F.length("text") - F.length(F.regexp_replace("text", "\n", ""))
+    mean_len = F.round((F.length("text") - nl) / (nl + 1), 6)
+    max_len = F.array_max(F.transform(F.split("text", "\n"),
+                                      lambda x: F.length(x))).cast("long")
+    return d.select("doc_id", mean_len.alias("mean_line_len"),
+                    max_len.alias("max_line_len"))
+
+
+def _q_q3_alpha_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    return d.select(
+        "doc_id",
+        F.round(alpha / F.greatest(F.length("text"), F.lit(1)), 6).alias("alpha_ratio"),
+    )
+
+
+def _q_q4_autogen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.functions.quality import AUTOGEN_PATTERN
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", F.col("text").rlike(AUTOGEN_PATTERN).alias("is_autogen"))
+
+
+def _q_q5_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.functions.quality import PII_RULES
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    col = F.col("text")
+    for pat, repl in PII_RULES:
+        col = F.regexp_replace(col, pat, repl)
+    return d.select("doc_id", col.alias("scrubbed"))
+
+
+def _q_q6_tox_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.functions.quality import TOX_PATTERN, TOX_REPL
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id", F.regexp_replace(F.col("text"), TOX_PATTERN, TOX_REPL).alias("scrubbed"))
+
+
+def _q_q8_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", F.sha2("text", 256).alias("content_sha256"))
+
+
+def _q_q7_keep_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7's SQL-expressible sub-chain (no model signals): frozen rule
+    order long_lines -> low_alpha -> autogen."""
+    from yalder_spark.functions.quality import AUTOGEN_PATTERN
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nl = F.length("text") - F.length(F.regexp_replace("text", "\n", ""))
+    mean_len = (F.length("text") - nl) / (nl + 1)
+    max_len = F.array_max(F.transform(F.split("text", "\n"), lambda x: F.length(x)))
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / \
+        F.greatest(F.length("text"), F.lit(1))
+    reason = (
+        F.when((max_len > 1000) | (mean_len > 250.0), "long_lines")
+        .when(alpha < 0.25, "low_alpha")
+        .when(F.col("text").rlike(AUTOGEN_PATTERN), "autogen")
+    )
+    return d.select("doc_id", reason.isNull().alias("keep_h"),
+                    reason.alias("drop_reason_h"))
+
+
+def _q_d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(d, "text", "doc_id")
+
+
+def _q_t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.textstats import token_count
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_count(d, "text", "doc_id")
+
+
+def _q_t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.textstats import quality_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(d, "text", "doc_id")
+
+
+def _q_t_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.textstats import langid_stopword
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return langid_stopword(d, "text", "doc_id")
+
+
+def _q_e_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]  # frozen
+    top = brute_force_topk(e, query, k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_ev_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.streaming.events import windowed_counts_batch
+
+    return windowed_counts_batch(spark, sf_dir, "1 hour")
+
+
+# --- UDF-only (rows-only) ---------------------------------------------------
+
+def _q_detect_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.detector import detect_langs
+
+    model, _ = _models()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = detect_langs(d.select("doc_id", "text"), model, "text")
+    return out.select("doc_id", "detected_lang",
+                      F.round("lang_score", 6).alias("lang_score"),
+                      "n_ngrams")
+
+
+def _q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.filter import quality_filter
+
+    model, ppl = _models()
+    src = _documents_as_repo_table(spark, sf_dir)
+    out = quality_filter(src, model, ppl)
+    return out.select("repo", "path", "detected_lang", "keep", "drop_reason",
+                      "pii_hits", "tox_hits", "content_sha256")
+
+
+def _q_t2_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.trainer import ngram_counts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_counts(d.select(F.col("lang"), F.col("text")), "text", "lang")
+
+
+def _q_t34_model_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.trainer import build_model_df
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = build_model_df(d.select("lang", "text"), "text", "lang",
+                       min_count=2, top_k=500)
+    return m.select("lang", "ngram_hash", F.round("log_prob", 6).alias("log_prob"),
+                    "cnt")
+
+
+def _q_d2_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.dedup import minhash_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup(d, "text", "doc_id", threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.dedup import simhash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(d, "text", "doc_id")
+
+
+def _q_d4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.textstats import fingerprint
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(d, "text", "doc_id").select("doc_id", "fp_digest")
+
+
+def _q_e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.similarity import lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+    return lsh_topk(e, query, k=10).select(
+        "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+    return ivf_topk(e, query, k=10).select(
+        "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_e_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.dedup import embedding_neardup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup(e, threshold=0.9).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_m_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.multimodal import image_features, synth_media
+
+    media = synth_media(spark, n=48, seed=42)
+    out = image_features(media, decode="fake")
+    return out.select("media_id",
+                      F.round(F.element_at("mean_rgb", 1), 4).alias("mean_r"))
+
+
+def _q_q1_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from yalder_spark.functions.ngram import batch_ngram_hashes
+
+    _, ppl = _models()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes, doc_ids, n_docs = batch_ngram_hashes(pdf["text"])
+            n = np.bincount(doc_ids, minlength=n_docs)
+            s = np.bincount(doc_ids, weights=ppl.lookup(hashes)[0], minlength=n_docs)
+            p = np.where(n > 0, np.exp(-s / np.maximum(n, 1)), -1.0)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "perplexity": np.round(p, 4)})
+
+    return d.select("doc_id", "text").mapInPandas(gen, "doc_id long, perplexity double")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from yalder_spark.operators import relational as R
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational (SURVEY §2.E)
+        "r1_filter_project": R.q_filter_project,
+        "r2_agg": R.q_agg,
+        "r3_topk_window": R.q_topk_window,
+        "r4_broadcast_join": R.q_broadcast_join,
+        "r4b_join_agg": R.q_join_agg,
+        "r5_anti_join": R.q_anti_join,
+        "r5b_semi_join": R.q_semi_join,
+        "r6_sort_limit": R.q_sort_limit,
+        "r7_union": R.q_union,
+        # detection dataflow (SURVEY §2.A)
+        "h1_normalize": _q_h1_normalize,
+        "h2_ngram_count": _q_h2_ngram_count,
+        "h4_h8_detect": _q_detect_documents,
+        # training dataflow (SURVEY §2.B)
+        "t2_ngram_counts": _q_t2_ngram_counts,
+        "t34_model_table": _q_t34_model_table,
+        # quality filter (SURVEY §2.C)
+        "q1_perplexity": _q_q1_perplexity,
+        "q2_line_stats": _q_q2_line_stats,
+        "q3_alpha_ratio": _q_q3_alpha_ratio,
+        "q4_autogen": _q_q4_autogen,
+        "q5_pii_scrub": _q_q5_pii_scrub,
+        "q6_tox_scrub": _q_q6_tox_scrub,
+        "q7_keep_heuristic": _q_q7_keep_heuristic,
+        "q8_sha256": _q_q8_sha256,
+        "pipeline_flagship": _q_pipeline_flagship,
+        # training-data ops: dedup / similarity / textstats / multimodal
+        "d1_exact_dedup": _q_d1_exact_dedup,
+        "d2_minhash_neardup": _q_d2_minhash,
+        "d3_simhash": _q_d3_simhash,
+        "d4_fingerprint": _q_d4_fingerprint,
+        "x1_token_count": _q_t_token_count,
+        "x2_quality_score": _q_t_quality_score,
+        "x3_langid_stopword": _q_t_langid_stopword,
+        "e1_ann_bruteforce": _q_e_ann_bruteforce,
+        "e2_ann_lsh": _q_e_ann_lsh,
+        "e3_ann_ivf": _q_e_ann_ivf,
+        "e4_embedding_neardup": _q_e_neardup,
+        "m1_image_features": _q_m_image_features,
+        # streaming-shaped batch window agg
+        "s1_events_windowed": _q_ev_windowed,
+    }
+
+
+# --- DuckDB oracle SQL ------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[\\W\\d_]+', ' ', 'g'))"
+_AUTOGEN_SQL = ("regexp_matches(text, '(?i)generated by|do not edit|"
+                "auto-generated|autogenerated|@generated|this file was automatically')")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pii_chain = "text"
+    for pat, repl in [
+        ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+        ("\\bAKIA[0-9A-Z]{16}\\b", "<KEY>"),
+        ("\\b[0-9a-fA-F]{40}\\b", "<SECRET>"),
+    ]:
+        pii_chain = f"regexp_replace({pii_chain}, '{pat}', '{repl}', 'g')"
+    tox = ("regexp_replace(text, '(?i)\\b(?:damn|hell|crap|stupid|idiot|moron|"
+           "jackass)\\b', '<TOX>', 'g')")
+
+    return {
+        "r1_filter_project": """
+            SELECT l_orderkey, l_partkey, l_quantity, l_discount
+            FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
+        """,
+        "r2_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "r3_topk_window": """
+            SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+              FROM part) WHERE rk <= 3
+        """,
+        "r4_broadcast_join": """
+            SELECT r_name, count(*) AS n_customers,
+                   sum(c_acctbal) AS total_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "r4b_join_agg": """
+            SELECT o_orderpriority,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "r5_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "r5b_semi_join": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        """,
+        "r6_sort_limit": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "r7_union": """
+            SELECT kind, nationkey, count(*) AS n FROM (
+              SELECT c_name AS name, c_nationkey AS nationkey, 'customer' AS kind
+              FROM customer
+              UNION ALL
+              SELECT s_name, s_nationkey, 'supplier' FROM supplier)
+            GROUP BY kind, nationkey ORDER BY kind, nationkey
+        """,
+        "h1_normalize": f"""
+            SELECT doc_id, {_NORM_SQL} AS norm_text FROM documents
+        """,
+        "h2_ngram_count": f"""
+            SELECT doc_id,
+                   CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                        ELSE length({_NORM_SQL}) - 1 END::BIGINT AS n_ngrams
+            FROM documents
+        """,
+        "q2_line_stats": """
+            SELECT doc_id,
+                   round((length(text) - nl) / (nl + 1.0), 6) AS mean_line_len,
+                   list_max(list_transform(split(text, chr(10)),
+                            x -> length(x)))::BIGINT AS max_line_len
+            FROM (SELECT doc_id, text,
+                         length(text) - length(replace(text, chr(10), '')) AS nl
+                  FROM documents)
+        """,
+        "q3_alpha_ratio": """
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / greatest(length(text), 1)::DOUBLE, 6) AS alpha_ratio
+            FROM documents
+        """,
+        "q4_autogen": f"""
+            SELECT doc_id, {_AUTOGEN_SQL} AS is_autogen FROM documents
+        """,
+        "q5_pii_scrub": f"""
+            SELECT doc_id, {pii_chain} AS scrubbed FROM documents
+        """,
+        "q6_tox_scrub": f"""
+            SELECT doc_id, {tox} AS scrubbed FROM documents
+        """,
+        "q7_keep_heuristic": """
+            WITH sig AS (
+              SELECT doc_id,
+                (length(text) - nl) / (nl + 1.0) AS mean_len,
+                list_max(list_transform(split(text, chr(10)), x -> length(x))) AS max_len,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(length(text), 1)::DOUBLE AS alpha,
+                regexp_matches(text, '(?i)generated by|do not edit|auto-generated|autogenerated|@generated|this file was automatically') AS autogen
+              FROM (SELECT doc_id, text,
+                           length(text) - length(replace(text, chr(10), '')) AS nl
+                    FROM documents))
+            SELECT doc_id,
+                   (reason IS NULL) AS keep_h, reason AS drop_reason_h
+            FROM (SELECT doc_id,
+                    CASE WHEN max_len > 1000 OR mean_len > 250.0 THEN 'long_lines'
+                         WHEN alpha < 0.25 THEN 'low_alpha'
+                         WHEN autogen THEN 'autogen' END AS reason
+                  FROM sig)
+        """,
+        "q8_sha256": """
+            SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+        """,
+        "d1_exact_dedup": """
+            SELECT sha256(text) AS text_sha256, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY sha256(text)
+        """,
+        "x1_token_count": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+                     AS n_tokens,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE list_sum(list_transform(
+                               regexp_split_to_array(trim(text), '\s+'),
+                               w -> cast(ceil(length(w) / 4.0) AS INT))) END::BIGINT
+                     AS n_subwords
+            FROM documents
+        """,
+        "x2_quality_score": r"""
+            WITH sig AS (
+              SELECT doc_id, length(text) AS l,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+                len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+                (CASE WHEN regexp_matches(text, '(?i)\bthe\b') THEN 1 ELSE 0 END +
+                 CASE WHEN regexp_matches(text, '(?i)\band\b') THEN 1 ELSE 0 END +
+                 CASE WHEN regexp_matches(text, '(?i)\bof\b') THEN 1 ELSE 0 END +
+                 CASE WHEN regexp_matches(text, '(?i)\bto\b') THEN 1 ELSE 0 END +
+                 CASE WHEN regexp_matches(text, '(?i)\bis\b') THEN 1 ELSE 0 END +
+                 CASE WHEN regexp_matches(text, '(?i)\bin\b') THEN 1 ELSE 0 END +
+                 CASE WHEN regexp_matches(text, '(?i)\bthat\b') THEN 1 ELSE 0 END +
+                 CASE WHEN regexp_matches(text, '(?i)\bwith\b') THEN 1 ELSE 0 END)
+                  AS stop_hits
+              FROM documents)
+            SELECT doc_id,
+                   round(alpha / greatest(l, 1)::DOUBLE, 6) AS alpha_ratio,
+                   round(punct / greatest(l, 1)::DOUBLE, 6) AS punct_ratio,
+                   n_words::BIGINT AS n_words,
+                   round(0.3 * least(l / 200.0, 1.0)
+                         + 0.3 * (alpha / greatest(l, 1)::DOUBLE)
+                         + 0.3 * least(stop_hits / 4.0, 1.0)
+                         + 0.1 * (1 - least(punct / greatest(l, 1)::DOUBLE * 5, 1.0)),
+                         6) AS quality_score
+            FROM sig
+        """,
+        "x3_langid_stopword": r"""
+            WITH hits AS (
+              SELECT doc_id, text,
+                (CASE WHEN regexp_matches(lower(text), '\bder\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bdie\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bdas\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bund\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bist\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bnicht\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bmit\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bfür\b') THEN 1 ELSE 0 END) AS h_de,
+                (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bis\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bin\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END) AS h_en,
+                (CASE WHEN regexp_matches(lower(text), '\bel\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bla\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\blos\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\by\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bes\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\ben\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bque\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bcon\b') THEN 1 ELSE 0 END) AS h_es,
+                (CASE WHEN regexp_matches(lower(text), '\ble\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bla\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bles\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bet\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\best\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bdans\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bpour\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bpas\b') THEN 1 ELSE 0 END) AS h_fr
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                   WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                   WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                   WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                   WHEN h_es >= h_fr THEN 'es'
+                   ELSE 'fr' END AS heuristic_lang
+            FROM hits
+        """,
+        "e1_ann_bruteforce": """
+            WITH q AS (SELECT [CAST(((i * 37) % 19 - 9) AS DOUBLE) / 10.0
+                               FOR i IN range(64)] AS qv),
+            scored AS (
+              SELECT vec_id,
+                     list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                      (SELECT qv FROM q))
+                     / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                              list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                        * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q))))
+                       AS cos
+              FROM embeddings)
+            SELECT vec_id, round(cos, 6) AS cosine FROM scored
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "s1_events_windowed": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    }

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra fields: ``files_per_sec`` (the filter pipeline's throughput — the
+BASELINE.md headline) and ``n_files``.  The documents table is small at
+sf0.1 (5k rows), so the filter/detect benches replicate it
+``--mult``x (default 20 -> 100k docs) to measure a meaningful UDF-stage
+throughput; relational benches use lineitem (~600k rows) as-is.
+
+Scaling evidence (north rule: >=0.8 efficiency from N to 4N): run
+``scripts/bench_scaling.py`` which invokes this file at --cores 8 and
+--cores 32 on identical input and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def build_bench_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"yalder-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+
+
+def _docs_repo_shaped(spark, sf_dir: str, mult: int):
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if mult > 1:
+        d = d.crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+        d = d.withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000).drop("rep")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.sha2(F.concat_ws("@", "source", F.col("doc_id").cast("string")), 256
+               ).substr(1, 40).alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.col("text").alias("content"),
+    ).repartition(max(spark.sparkContext.defaultParallelism, 8))
+
+
+def run_bench(spark, sf_dir: str, mult: int, runs: int = 2) -> dict:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from yalder_spark.operators.detector import detect_langs
+    from yalder_spark.operators.dedup import lsh_bands
+    from yalder_spark.operators.filter import quality_filter
+    from yalder_spark.operators.trainer import build_model_df
+
+    model, ppl = entrymod._models()
+    src = _docs_repo_shaped(spark, sf_dir, mult).cache()
+    n_files = src.count()  # also warms the cache
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    docs.count()
+
+    def bench(fn):
+        times = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    queries = {
+        "filter_pipeline": lambda: quality_filter(src, model, ppl)
+            .select(F.sum(F.col("keep").cast("long"))).collect(),
+        "detect": lambda: detect_langs(src.select("repo", "content"), model,
+                                       "content")
+            .groupBy("detected_lang").count().collect(),
+        "train": lambda: build_model_df(docs.select("lang", "text"))
+            .groupBy("lang").count().collect(),
+        "dedup_lsh_bands": lambda: lsh_bands(src.withColumn(
+            "doc_id", F.crc32("path").cast("long")), "content", "doc_id")
+            .groupBy("band").count().collect(),
+        "relational_agg": lambda: entrymod.queries()["r2_agg"](spark, sf_dir).collect(),
+        "relational_join": lambda: entrymod.queries()["r4b_join_agg"](spark, sf_dir).collect(),
+        "ann_bruteforce": lambda: entrymod.queries()["e1_ann_bruteforce"](spark, sf_dir).collect(),
+    }
+
+    results = {}
+    for name, fn in queries.items():
+        fn()  # warm (JIT, codegen, Python worker reuse)
+        results[name] = round(bench(fn), 4)
+
+    total = round(sum(results.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_files": n_files,
+        "files_per_sec": round(n_files / results["filter_pipeline"], 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"))
+    ap.add_argument("--mult", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "20")))
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    spark = build_bench_session(args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = run_bench(spark, args.sf_dir, args.mult, args.runs)
+    out["cores"] = args.cores
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

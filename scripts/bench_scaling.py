@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north rule: >=0.8 from N to 4N).
+
+No real cluster exists in the sandbox, so per driver instruction the
+same bench job runs at two parallelism levels — local[8] vs local[32] —
+on IDENTICAL input, and efficiency is::
+
+    eff = (files_per_sec@32 / files_per_sec@8) / (32 / 8)
+
+Each level runs in its own subprocess (one JVM per SparkSession).
+Writes BENCH/BASELINE.md and BENCH/scaling.json.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cores: int, sf_dir: str, mult: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--cores", str(cores),
+         "--sf-dir", sf_dir, "--mult", str(mult)],
+        capture_output=True, text=True, check=True, cwd=REPO)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "20"))
+    lo, hi = 8, 32
+
+    r_lo = run_at(lo, sf_dir, mult)
+    r_hi = run_at(hi, sf_dir, mult)
+    speedup = r_hi["files_per_sec"] / r_lo["files_per_sec"]
+    eff = speedup / (hi / lo)
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    result = {"ts": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+              "sf_dir": sf_dir, "n_files": r_lo["n_files"],
+              f"local[{lo}]": r_lo, f"local[{hi}]": r_hi,
+              "speedup": round(speedup, 3), "efficiency": round(eff, 3)}
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+    lines = [
+        "# BENCH baseline — measured throughput + scaling efficiency",
+        "",
+        f"Measured {result['ts']} on identical input ({sf_dir}, "
+        f"{r_lo['n_files']} files after x{mult} replication; min of 2 warm runs).",
+        "",
+        "| config | filter files/sec | filter sec | total bench sec |",
+        "| --- | --- | --- | --- |",
+        f"| local[{lo}] | {r_lo['files_per_sec']} | {r_lo['queries']['filter_pipeline']} | {r_lo['value']} |",
+        f"| local[{hi}] | {r_hi['files_per_sec']} | {r_hi['queries']['filter_pipeline']} | {r_hi['value']} |",
+        "",
+        f"**Speedup {lo}->{hi} cores: {result['speedup']}x; scaling "
+        f"efficiency: {result['efficiency']} (target >= 0.8).**",
+        "",
+        "Per-query seconds:",
+        "",
+        "| query | local[8] | local[32] |",
+        "| --- | --- | --- |",
+    ]
+    for q in r_lo["queries"]:
+        lines.append(f"| {q} | {r_lo['queries'][q]} | {r_hi['queries'][q]} |")
+    lines.append("")
+    lines.append("Sandbox evidence for the N->4N executor criterion per the "
+                 "driver instruction (no real cluster available): same job, "
+                 "same input, local[8] vs local[32].")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Local replica of the driver's correctness harness: run every
+``queries()`` entry at sf0.01 and compare against ``oracle_sql()`` via
+DuckDB — row count, schema (column names), and order-insensitive value
+equality (the driver's value-hash, reproduced as a canonical sorted
+string digest).  UDF-only queries get the rows-only check.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(round(v, 9))
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+ALL_QUERIES = sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_vs_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+
+    sql = entrymod.oracle_sql().get(name)
+    if sql is None:
+        # rows-only check (the driver's weak mode for UDF-only ops)
+        assert len(spark_rows) >= 0
+        assert len(spark_cols) > 0
+        return
+
+    res = ddb.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: schema mismatch"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count"
+    s = _rowset(spark_cols, [[row[c] for c in spark_cols] for row in spark_rows])
+    d = _rowset(duck_cols, duck_rows)
+    if s != d:
+        diffs = [(a, b) for a, b in zip(s, d) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"detected_lang", "n_docs", "n_keep", "n_scrub_hits"} == set(df.columns)
+
+
+def test_every_query_has_unique_semantics():
+    qs = entrymod.queries()
+    assert len(qs) >= 30
+    oracle = entrymod.oracle_sql()
+    assert set(oracle) <= set(qs), "oracle keys must be a subset of queries"
+    # at least 20 SQL-checked pairs
+    assert len(oracle) >= 20

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata structs, processed by Arrow-batched
+mapInPandas operators.
+
+The container has no image/audio codecs, so the DECODE step is stubbed:
+``decode=\"fake\"`` produces a deterministic pseudo-decode from the
+bytes (real Spark plumbing — schema, batching, partitioning — with a
+fake kernel), while ``decode=\"real\"`` raises NotImplementedError at
+the exact point a PIL/ffmpeg call would go.  Everything around the
+kernel (schemas, batch iteration, output shapes) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),        # image|audio|video
+    T.StructField("payload", T.BinaryType(), True),      # opaque bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]), True),
+])
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.bytes(128 + int(rng.randint(0, 256)))
+        meta = (64 + int(rng.randint(0, 64)), 64 + int(rng.randint(0, 64)),
+                int(rng.randint(1000, 60000)), "fake")
+        rows.append((i, kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic pseudo-image from the payload digest (stands in for
+    PIL.Image.open; same dtype/shape contract as a real decode)."""
+    d = hashlib.sha256(payload or b"").digest()
+    rng = np.random.RandomState(np.frombuffer(d[:4], np.uint32)[0])
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def image_features(df: DataFrame, decode: str = "fake",
+                   resize_to: int = 32) -> DataFrame:
+    """Decode -> resize -> feature-extract for image rows: returns
+    (media_id, mean_rgb array<double>, feat array<float>) where feat is
+    a 64-dim downsampled-grayscale embedding.  Arrow-batched; the only
+    stub is the decode kernel itself."""
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, means, feats = [], [], []
+            for _, row in pdf.iterrows():
+                if decode == "real":
+                    raise NotImplementedError(
+                        "real image decode needs PIL/libjpeg — not in this "
+                        "container; use decode='fake'")
+                w = int(row["meta"]["width"] or 32)
+                h = int(row["meta"]["height"] or 32)
+                img = _fake_decode(row["payload"], w, h)
+                # resize by block-mean to resize_to x resize_to
+                ys = np.linspace(0, h, resize_to + 1).astype(int)
+                xs = np.linspace(0, w, resize_to + 1).astype(int)
+                small = np.stack([
+                    [img[ys[i]:max(ys[i + 1], ys[i] + 1),
+                         xs[j]:max(xs[j + 1], xs[j] + 1)].mean(axis=(0, 1))
+                     for j in range(resize_to)]
+                    for i in range(resize_to)])
+                gray = small.mean(axis=2)
+                # 8x8 block-mean -> 64-dim feature
+                g8 = gray.reshape(8, resize_to // 8, 8, resize_to // 8).mean(axis=(1, 3))
+                out_ids.append(row["media_id"])
+                means.append(img.mean(axis=(0, 1)).astype(float).tolist())
+                feats.append(g8.reshape(-1).astype(np.float32))
+            yield pd.DataFrame({"media_id": out_ids, "mean_rgb": means,
+                                "feat": feats})
+
+    return (df.filter(F.col("kind") == "image")
+            .select("media_id", "payload", "meta")
+            .mapInPandas(gen, "media_id long, mean_rgb array<double>, feat array<float>"))
+
+
+def frame_sample(df: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled
+    timestamp (decode stubbed; timestamps + schema real)."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(
+                F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms)
+            )).alias("frame_ts_ms"),
+        )
+        .withColumn("frame_decoded", F.lit(False))  # real decode: NotImplemented
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: heuristic language-ID, quality scoring, token
+counting, and winnowing document fingerprints.
+
+All native pyspark.sql.functions where possible (JVM-side, codegen);
+the fingerprint is a vectorized NumPy mapInPandas (rolling-hash
+winnowing needs imperative windows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from yalder_spark.functions.ngram import batch_ngram_hashes
+
+# frozen stopword lists for the heuristic (cheap, SQL-expressible) langid
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "für"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "pour", "pas"),
+    "es": ("el", "la", "los", "y", "es", "en", "que", "con"),
+}
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (word chunks of
+    <=4 chars count one unit each): all JVM-side expressions."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ws = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
+        .otherwise(F.size(toks)).cast("long")
+    # BPE-ish: ceil(len(word)/4) summed over words ~ subword unit count
+    bpe = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.aggregate(toks, F.lit(0),
+                    lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("int"))
+    ).cast("long")
+    return df.select(id_col, ws.alias("n_tokens"), bpe.alias("n_subwords"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Composite [0,1] quality score from native expressions:
+    length band + alpha ratio + stopword presence + punct ratio."""
+    length = F.length(F.col(text_col))
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(F.col(text_col), "[^.,;:!?]", ""))
+    n_words = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    alpha_ratio = alpha / F.greatest(length, F.lit(1))
+    punct_ratio = punct / F.greatest(length, F.lit(1))
+    len_score = F.least(length / F.lit(200.0), F.lit(1.0))
+    stop_hits = sum(
+        F.when(F.col(text_col).rlike(rf"(?i)\b{w}\b"), 1).otherwise(0)
+        for w in STOPWORDS["en"]
+    )
+    stop_score = F.least(stop_hits / F.lit(4.0), F.lit(1.0))
+    score = (0.3 * len_score + 0.3 * alpha_ratio + 0.3 * stop_score
+             + 0.1 * (1 - F.least(punct_ratio * 5, F.lit(1.0))))
+    return df.select(
+        id_col,
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        n_words.cast("long").alias("n_words"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def langid_stopword(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Cheap heuristic language-ID: argmax of stopword hits per
+    language; CJK-character presence short-circuits to zh.  Pure SQL
+    expressions (contrast with the model-based detector)."""
+    lowered = F.lower(F.col(text_col))
+    hit_cols = []
+    for lang, words in sorted(STOPWORDS.items()):
+        hits = sum(
+            F.when(lowered.rlike(rf"\b{w}\b"), 1).otherwise(0) for w in words
+        )
+        hit_cols.append(F.struct(hits.cast("long").alias("hits"),
+                                 F.lit(lang).alias("lang")))
+    best = F.greatest(*hit_cols)  # struct compare: hits first, lang tiebreak
+    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    return df.select(
+        id_col,
+        F.when(has_cjk, F.lit("zh"))
+        .when(best["hits"] > 0, best["lang"])
+        .otherwise(F.lit("und")).alias("heuristic_lang"),
+    )
+
+
+WINNOW_WINDOW = 8
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    min 4-gram hash per sliding window of W hashes, deduplicated ->
+    compact set of selected hashes; emitted as a sorted array plus a
+    64-bit digest.  Vectorized via sliding_window_view."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes, doc_ids, n_docs = batch_ngram_hashes(pdf[text_col])
+            fps: list[list[int]] = [[] for _ in range(n_docs)]
+            if len(hashes):
+                bounds = np.searchsorted(doc_ids, np.arange(n_docs + 1))
+                for d in range(n_docs):
+                    h = hashes[bounds[d]:bounds[d + 1]]
+                    if len(h) == 0:
+                        continue
+                    if len(h) <= WINNOW_WINDOW:
+                        fps[d] = [int(h.min())]
+                        continue
+                    win = np.lib.stride_tricks.sliding_window_view(h, WINNOW_WINDOW)
+                    fps[d] = sorted(set(win.min(axis=1).tolist()))
+            digest = [
+                int(np.bitwise_xor.reduce(
+                    np.array(f, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ).view(np.int64)) if f else 0
+                for f in fps
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "fingerprint": fps, "fp_digest": digest})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, fingerprint array<long>, fp_digest long")

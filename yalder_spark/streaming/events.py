@@ -1,0 +1,44 @@
+"""Structured-Streaming demo over the ``events`` table.
+
+The reference (yalder) is a batch library and the north rule is a batch
+job with resume semantics — streaming is OUT OF SCOPE for the gate
+(SURVEY.md §2 row S4).  This module exists to show the streaming shape
+of the same aggregation: tumbling-window counts with a watermark for
+late data.  ``windowed_counts_batch`` is the batch-equivalent plan
+(identical results on a static table) used for the DuckDB oracle pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def windowed_counts_batch(spark: SparkSession, sf_dir: str,
+                          width: str = "1 hour") -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def windowed_counts_stream(spark: SparkSession, sf_dir: str,
+                           width: str = "1 hour",
+                           watermark: str = "2 hours"):
+    """readStream -> watermark -> tumbling window -> memory sink.
+    Returns the started StreamingQuery (caller: processAllAvailable()
+    then query the sink table)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (spark.readStream.schema(schema)
+          .parquet(f"{sf_dir}/events.parquet"))
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return (agg.writeStream.outputMode("complete")
+            .format("memory").queryName("events_windowed").start())
