@@ -425,10 +425,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "r2_agg": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-                   avg(l_quantity) AS avg_qty,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
@@ -443,14 +443,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "r4_broadcast_join": """
             SELECT r_name, count(*) AS n_customers,
-                   sum(c_acctbal) AS total_acctbal
+                   round(sum(c_acctbal), 2) AS total_acctbal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
         """,
         "r4b_join_agg": """
             SELECT o_orderpriority,
-                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority

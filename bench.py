@@ -90,7 +90,11 @@ def run_bench(spark, sf_dir: str, mult: int, runs: int = 2) -> dict:
         "filter_pipeline": lambda: quality_filter(src, model, ppl)
             .select(F.sum(F.col("keep").cast("long"))).collect(),
         "detect": lambda: detect_langs(src.select("repo", "content"), model,
-                                       "content")
+                                       "content", keep_text=False)
+            .groupBy("detected_lang").count().collect(),
+        "detect_early_exit": lambda: detect_langs(
+            src.select("repo", "content"), model, "content",
+            early_exit=True, keep_text=False)
             .groupBy("detected_lang").count().collect(),
         "train": lambda: build_model_df(docs.select("lang", "text"))
             .groupBy("lang").count().collect(),

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Freeze golden outputs (FIXTURES.md §B3) — run ONCE per spec change.
+
+Generates, with the pure-Python oracle only (no Spark):
+  tests/golden/decisions.parquet — full per-row pipeline output on the
+      5k-row B1 fixture (the keep/drop-F1 + scrub-equality gate)
+  tests/golden/model.parquet     — oracle-trained model on B2-train
+      (training-parity gate for the salted Spark aggregation)
+  tests/golden/meta.json         — generation parameters + spec digest
+
+The Spark pipeline must reproduce decisions exactly (tests/test_golden.py);
+the honest caveat from SURVEY §5.3 applies: these goldens ARE the
+reference until /root/reference materializes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from yalder_spark.fixtures.gen import gen_corpus, gen_ppl_corpus, gen_repos  # noqa: E402
+from yalder_spark.oracle.pure_detector import filter_one, train_oracle_model  # noqa: E402
+
+GOLDEN_ROWS = 5000
+CORPUS_PER_LANG = 600
+SEED = 42
+
+
+def main() -> None:
+    out_dir = os.path.join(REPO, "tests", "golden")
+    os.makedirs(out_dir, exist_ok=True)
+
+    corpus = gen_corpus(CORPUS_PER_LANG, SEED)
+    train = corpus[corpus["split"] == "train"]
+    model = train_oracle_model(list(zip(train["lang"], train["text"])))
+    ppl = train_oracle_model(
+        [("__quality__", t) for t in gen_ppl_corpus(seed=SEED)])
+
+    model_rows = [(l, h, lp) for l, per in sorted(model.items())
+                  for h, lp in sorted(per.items())]
+    model_pdf = pd.DataFrame(model_rows, columns=["lang", "ngram_hash", "log_prob"])
+    model_pdf.to_parquet(os.path.join(out_dir, "model.parquet"), index=False)
+
+    repos = gen_repos(GOLDEN_ROWS, SEED)
+    decisions = []
+    for _, row in repos.iterrows():
+        decisions.append(filter_one(
+            {"repo": row["repo"], "path": row["path"], "commit": row["commit"],
+             "content": row["content"]}, model, ppl))
+    dec = pd.DataFrame(decisions)
+    dec.to_parquet(os.path.join(out_dir, "decisions.parquet"), index=False)
+
+    meta = {
+        "golden_rows": GOLDEN_ROWS, "corpus_per_lang": CORPUS_PER_LANG,
+        "seed": SEED,
+        "n_keep": int(dec["keep"].sum()),
+        "drop_reasons": dec.loc[~dec["keep"], "drop_reason"]
+                          .value_counts().to_dict(),
+        "decisions_sha256": hashlib.sha256(
+            pd.util.hash_pandas_object(dec.astype(str)).values.tobytes()
+        ).hexdigest(),
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    print(json.dumps(meta, indent=2))
+
+
+if __name__ == "__main__":
+    main()

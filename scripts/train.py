@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Training entry point: build the language model from a corpus table.
+
+    spark-submit --py-files dist/yalder_spark.zip scripts/train.py \
+        --corpus corpus.parquet --out model_dir \
+        [--lang-col lang --text-col text] [--min-count 2] [--top-k 20000]
+
+Also trains the single-"language" perplexity model when --ppl-out is
+given (expects the corpus filtered to quality-reference rows).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--ppl-out")
+    ap.add_argument("--lang-col", default="lang")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-count", type=int, default=2)
+    ap.add_argument("--top-k", type=int, default=20000)
+    ap.add_argument("--n-salt", type=int, default=16)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from run_filter import build_pyfiles_zip  # noqa: F401 (same dir)
+
+    from yalder_spark.operators.trainer import train
+    from yalder_spark.pipeline import build_session
+
+    spark = build_session("yalder-train", master=args.master)
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
+
+    corpus = spark.read.parquet(args.corpus)
+    model = train(corpus, args.text_col, args.lang_col, args.n_salt,
+                  args.min_count, args.top_k)
+    model.save(args.out)
+    print(f"model: langs={model.langs} vocab={len(model.vocab)} -> {args.out}")
+
+    if args.ppl_out:
+        from pyspark.sql import functions as F
+
+        qcorpus = corpus.withColumn("__q", F.lit("__quality__"))
+        ppl = train(qcorpus, args.text_col, "__q", args.n_salt,
+                    args.min_count, args.top_k)
+        ppl.save(args.ppl_out)
+        print(f"ppl model: vocab={len(ppl.vocab)} -> {args.ppl_out}")
+
+
+if __name__ == "__main__":
+    main()

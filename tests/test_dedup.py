@@ -1,0 +1,75 @@
+"""Dedup operators: exact, MinHash+LSH (planted near-dups), SimHash,
+embedding near-dup."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, corpus_pdf):
+    """200 corpus sentences + planted exact dups + near-dups (one word
+    appended)."""
+    base = corpus_pdf[corpus_pdf["lang"] == "en"].head(200).reset_index(drop=True)
+    rows = [(i, t) for i, t in enumerate(base["text"])]
+    rows += [(1000 + i, rows[i][1]) for i in range(10)]          # exact dups
+    rows += [(2000 + i, rows[i][1] + " extra") for i in range(10)]  # near dups
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    from yalder_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs_with_dups).toPandas()
+    assert len(out) == 210  # 200 uniques + 10 near-dups (distinct text)
+    dups = out[out["n_copies"] > 1]
+    assert len(dups) == 10
+    assert (dups["keep_id"] < 1000).all()  # canonical = min id
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, docs_with_dups):
+    from yalder_spark.operators.dedup import minhash_dedup
+
+    pairs = minhash_dedup(docs_with_dups, threshold=0.7).toPandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    # every exact dup pair and every near-dup pair must be found
+    for i in range(10):
+        assert (i, 1000 + i) in found, f"exact dup {i} missed"
+        assert (i, 2000 + i) in found, f"near dup {i} missed"
+    assert (pairs["jaccard"] >= 0.7).all()
+    exact = pairs[(pairs["id_a"] < 1000) & (pairs["id_b"] >= 1000) & (pairs["id_b"] < 2000)]
+    assert (exact["jaccard"] == 1.0).all()
+
+
+def test_simhash_neardup_distance(spark, docs_with_dups):
+    from yalder_spark.operators.dedup import simhash, simhash_candidates
+
+    s = simhash(docs_with_dups).toPandas().set_index("doc_id")["simhash"]
+    for i in range(10):
+        assert s[i] == s[1000 + i], "identical text must have identical simhash"
+    cands = simhash_candidates(docs_with_dups).toPandas()
+    near = cands[(cands["id_a"] < 1000) & (cands["id_b"] >= 2000)]
+    planted = near[near["id_b"] - 2000 == near["id_a"]]
+    assert len(planted) == 10
+    assert (planted["hamming"] <= 20).all()
+    # near-dups are much closer than random pairs
+    rand = cands[(cands["id_a"] < 1000) & (cands["id_b"] < 1000)]
+    if len(rand):
+        assert planted["hamming"].mean() < rand["hamming"].mean()
+
+
+def test_embedding_neardup(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((100, 64)).astype(np.float32)
+    vecs[50] = vecs[0] + rng.standard_normal(64).astype(np.float32) * 0.01
+    pdf = pd.DataFrame({"vec_id": range(100), "embedding": list(map(list, vecs))})
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+    from yalder_spark.operators.dedup import embedding_neardup
+
+    out = embedding_neardup(emb, threshold=0.95).toPandas()
+    assert (0, 50) in set(zip(out["id_a"], out["id_b"]))

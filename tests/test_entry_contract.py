@@ -29,6 +29,9 @@ def ddb():
 
 
 def _canon(v):
+    """STRICT canonicalization — floats at full precision, mimicking a
+    driver that hashes exact values.  Queries must therefore round
+    doubles themselves, identically in both dialects."""
     if v is None:
         return "\0NULL"
     if isinstance(v, bool):
@@ -36,7 +39,7 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(round(v, 9))
+        return repr(v)
     return str(v)
 
 

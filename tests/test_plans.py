@@ -1,0 +1,88 @@
+"""Physical-plan regression tests (SURVEY §4): the optimizations we rely
+on at 100 TB must be visible in the plan, not assumed — predicate
+pushdown, column pruning, broadcast joins, shuffle-free map stages.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+import re
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count physical nodes in the detail section ('(N) NodeName') so the
+    tree rendering doesn't double-count."""
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.M))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(entrymod.queries()["r1_filter_project"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity,45.0)" in plan
+    # column pruning: only the 4 projected columns are read
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," \
+           "l_quantity:double,l_discount:double>" in plan
+
+
+def test_dims_are_broadcast(spark):
+    plan = _plan(entrymod.queries()["r4_broadcast_join"](spark, SF))
+    assert _nodes(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_detect_stage_is_shuffle_free_and_pruned(spark):
+    plan = _plan(entrymod.queries()["h4_h8_detect"](spark, SF))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, "detection must not shuffle"
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, \
+        "only doc_id+text may enter the Python stage"
+
+
+def test_filter_pipeline_single_python_stage(spark, model_artifact, ppl_model):
+    """The fused stage crosses the Python boundary once (one MapInPandas),
+    and sha256 is computed JVM-side before it."""
+    from yalder_spark.operators.filter import quality_filter
+
+    src = entrymod._documents_as_repo_table(spark, SF)
+    plan = _plan(quality_filter(src, model_artifact, ppl_model))
+    assert _nodes(plan, "MapInPandas") == 1
+    assert "sha2" in plan
+
+
+def test_resume_antijoin_is_broadcast(spark, tmp_path, model_artifact, ppl_model):
+    import json
+    import os
+
+    from yalder_spark.sources import io as yio
+
+    out = str(tmp_path / "o")
+    os.makedirs(out)
+    with open(os.path.join(out, yio.MANIFEST), "w") as f:
+        json.dump({"committed": {"0": {}, "1": {}}, "runs": []}, f)
+    src = yio.with_bucket(entrymod._documents_as_repo_table(spark, SF), 16)
+    todo = yio.skip_committed(src, spark, out)
+    plan = _plan(todo)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_sort_limit_is_takeordered(spark):
+    plan = _plan(entrymod.queries()["r6_sort_limit"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, "global top-k must not full-sort"
+
+
+def test_topk_window_pushes_rank_limit(spark):
+    plan = _plan(entrymod.queries()["r3_topk_window"](spark, SF))
+    # Spark rewrites rank<=k window filters into per-partition limits
+    assert "WindowGroupLimit" in plan or "rk" in plan

@@ -1,0 +1,113 @@
+"""textstats + langcodes + multimodal + streaming smoke/unit tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_token_count_edges(spark):
+    from yalder_spark.operators.textstats import token_count
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                      "text": ["one two three", "", "   ", "supercalifragilistic"]}))
+    out = token_count(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[1, "n_tokens"] == 0
+    assert out.loc[2, "n_tokens"] == 0
+    assert out.loc[3, "n_tokens"] == 1
+    assert out.loc[3, "n_subwords"] == 5  # ceil(20/4)
+
+
+def test_langid_stopword(spark):
+    from yalder_spark.operators.textstats import langid_stopword
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["the cat and the dog is here",
+                 "der hund ist nicht da und die katze",
+                 "le chien est dans la maison pour toujours",
+                 "中文内容在这里",
+                 "xyzzy plugh"],
+    }))
+    out = langid_stopword(df).toPandas().set_index("doc_id")["heuristic_lang"]
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr"
+    assert out[3] == "zh" and out[4] == "und"
+
+
+def test_fingerprint_stability_and_containment(spark):
+    from yalder_spark.operators.textstats import fingerprint
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2], "text": [t, t, "completely different words here"]}))
+    out = fingerprint(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "fp_digest"] == out.loc[1, "fp_digest"]
+    assert out.loc[0, "fp_digest"] != out.loc[2, "fp_digest"]
+
+
+def test_langcodes():
+    from yalder_spark.functions.langcodes import normalize_lang
+
+    assert normalize_lang("ENG") == "en"
+    assert normalize_lang("deu") == "de"
+    assert normalize_lang("zh_Hant") == "zh-Hant"
+    assert normalize_lang("en-US") == "en"
+    assert normalize_lang(None) == "und"
+    assert normalize_lang("  ") == "und"
+    assert normalize_lang("tlh") == "tlh"  # unknown passes through
+
+
+def test_multimodal_image_features(spark):
+    from yalder_spark.operators.multimodal import image_features, synth_media
+
+    media = synth_media(spark, n=30, seed=42)
+    out = image_features(media, decode="fake").toPandas()
+    assert len(out) == 10  # every 3rd row is an image
+    assert all(len(f) == 64 for f in out["feat"])
+    assert all(len(m) == 3 for m in out["mean_rgb"])
+    # determinism (values come back as numpy arrays -> compare as lists)
+    out2 = image_features(synth_media(spark, n=30, seed=42), decode="fake").toPandas()
+    a = [list(map(float, m)) for m in out.sort_values("media_id")["mean_rgb"]]
+    b = [list(map(float, m)) for m in out2.sort_values("media_id")["mean_rgb"]]
+    assert a == b
+
+
+def test_multimodal_real_decode_raises(spark):
+    from yalder_spark.operators.multimodal import image_features, synth_media
+
+    media = synth_media(spark, n=6, seed=42)
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        image_features(media, decode="real").collect()
+
+
+def test_frame_sample(spark):
+    from yalder_spark.operators.multimodal import frame_sample, synth_media
+
+    media = synth_media(spark, n=30, seed=42)
+    out = frame_sample(media, every_ms=10000).toPandas()
+    assert (out.groupby("media_id").size() >= 1).all()
+    assert (out["frame_ts_ms"] % 10000 == 0).all()
+
+
+def test_streaming_windowed_counts(spark):
+    from yalder_spark.streaming.events import (
+        windowed_counts_batch, windowed_counts_stream)
+
+    batch = windowed_counts_batch(spark, SF).toPandas()
+    assert len(batch) > 0
+    q = windowed_counts_stream(spark, SF)
+    try:
+        q.processAllAvailable()
+        stream = spark.sql(
+            "SELECT * FROM events_windowed ORDER BY window_start, event_type"
+        ).toPandas()
+    finally:
+        q.stop()
+    merged = batch.merge(stream, on=["window_start", "event_type"],
+                         suffixes=("_b", "_s"))
+    assert len(merged) == len(batch) == len(stream)
+    assert (merged["n_b"] == merged["n_s"]).all()

@@ -50,3 +50,24 @@ def test_model_roundtrip(tmp_path, spark_model):
     assert np.array_equal(loaded.vocab, spark_model.vocab)
     assert np.array_equal(loaded.log_probs, spark_model.log_probs)
     assert loaded.meta["n"] == 4
+
+
+def test_training_under_heavy_lang_skew(spark):
+    """SURVEY §7 hard parts: 95% of rows in one language — the salted
+    two-phase agg must produce the same model as the pure oracle."""
+    import pandas as pd
+
+    from yalder_spark.fixtures.gen import sentence
+    from yalder_spark.oracle.pure_detector import train_oracle_model
+    import random
+
+    rng = random.Random(11)
+    rows = [("en", sentence(rng, "en")) for _ in range(950)]
+    rows += [("zh", sentence(rng, "zh")) for _ in range(50)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["lang", "text"]))
+    got = train(df, n_salt=32)
+    exp = train_oracle_model(rows)
+    assert got.langs == sorted(exp)
+    for i, lang in enumerate(got.langs):
+        trained = {int(h) for h, t in zip(got.vocab, got.trained[i]) if t}
+        assert trained == set(exp[lang]), lang

@@ -37,4 +37,6 @@ def normalize_lang(code: str | None) -> str:
     base = c.split("-", 1)[0]
     if len(base) == 3 and base in _ISO_639_2_TO_1:
         return _ISO_639_2_TO_1[base]
-    return c if "-" in c else base
+    # region subtags (en-US) normalize to the base language; unknown
+    # multi-part tags pass through lowercased
+    return base if len(base) in (2, 3) else c

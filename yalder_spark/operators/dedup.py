@@ -184,14 +184,16 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 def simhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """Near-dup candidates: equal 16-bit chunk in the same position."""
+    """Near-dup candidates: equal 8-bit chunk in the same position
+    (8 bands; by pigeonhole, any pair with Hamming distance <= 7 always
+    collides, and distance <= ~16 collides with high probability)."""
     s = simhash(df, text_col, id_col)
     chunks = s.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk"),
-                     F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(0xFFFF).alias("v"))
-            for i in range(4)])).alias("c"),
+                     F.shiftrightunsigned("simhash", 8 * i).bitwiseAND(0xFF).alias("v"))
+            for i in range(8)])).alias("c"),
     ).select(id_col, "simhash", "c.chunk", "c.v")
     a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
                       "chunk", "v")

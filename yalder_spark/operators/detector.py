@@ -122,20 +122,27 @@ def _score_early_exit(hashes, doc_ids, n_docs, model: LanguageModel):
 
 
 def detect_langs(df: DataFrame, model: LanguageModel, text_col: str = "text",
-                 early_exit: bool = False) -> DataFrame:
+                 early_exit: bool = False, keep_text: bool = True) -> DataFrame:
     """Attach (detected_lang, lang_score, lang_confidence, n_ngrams) to
     every row of ``df`` via a single mapInPandas stage (one Python/Arrow
     boundary crossing per batch; embarrassingly parallel — no shuffle).
 
+    ``keep_text=False`` drops the text column from the OUTPUT inside the
+    Python worker — at scale, serializing multi-KB content back over
+    Arrow costs more than the scoring itself, and Catalyst cannot prune
+    columns through an opaque mapInPandas.
+
     The model artifact is a few MB and rides the task closure (pickled
-    once per task via Spark's broadcast-backed task serialization).
+    once per stage via Spark's broadcast-backed command serialization).
     """
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    fields = [f for f in df.schema.fields if keep_text or f.name != text_col]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
     out_schema = f"{out_schema}, {RESULT_SCHEMA}"
+    pass_cols = [f.name for f in fields]
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             res = score_batch(pdf[text_col], model, early_exit=early_exit)
-            yield pd.concat([pdf.reset_index(drop=True), res], axis=1)
+            yield pd.concat([pdf[pass_cols].reset_index(drop=True), res], axis=1)
 
     return df.mapInPandas(gen, out_schema)

@@ -35,10 +35,13 @@ def q_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            F.avg("l_quantity").alias("avg_qty"),
+            # doubles rounded so the emitted value is engine-independent
+            # (Spark and DuckDB sum in different orders -> last-ulp noise)
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                    ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -51,7 +54,7 @@ def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     return (
-        p.withColumn("rk", F.row_number().over(w))
+        p.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("p_brand", "p_partkey", "p_retailprice", "rk")
     )
@@ -67,7 +70,7 @@ def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(F.count("*").alias("n_customers"),
-             F.sum("c_acctbal").alias("total_acctbal"))
+             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
         .orderBy("r_name")
     )
 
@@ -124,7 +127,8 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                     ).alias("revenue"),
              F.count("*").alias("n_items"))
         .orderBy("o_orderpriority")
     )

@@ -32,8 +32,12 @@ def windowed_counts_stream(spark: SparkSession, sf_dir: str,
     Returns the started StreamingQuery (caller: processAllAvailable()
     then query the sink table)."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # glob form: FileStreamSource requires basePath to be a directory
     ev = (spark.readStream.schema(schema)
-          .parquet(f"{sf_dir}/events.parquet"))
+          .parquet(f"{sf_dir}/events.parquet" if sf_dir.endswith("/")
+                   else f"{sf_dir}/events.parque[t]"))
+    # driver parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
