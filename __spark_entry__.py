@@ -22,10 +22,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 @lru_cache(maxsize=1)
 def _models():
+    """Committed artifacts (artifacts/, built once from the seeded
+    fixture corpus) — fall back to in-process training if absent."""
+    import os
+
+    from yalder_spark.operators.model import LanguageModel
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    mp_, pp_ = (os.path.join(here, "artifacts", d)
+                for d in ("langid_model", "ppl_model"))
+    if os.path.isdir(mp_) and os.path.isdir(pp_):
+        return LanguageModel.load(mp_), LanguageModel.load(pp_)
+
     import pandas as pd
 
     from yalder_spark.fixtures.gen import gen_corpus, gen_ppl_corpus
-    from yalder_spark.operators.model import LanguageModel
     from yalder_spark.oracle.pure_detector import train_oracle_model
 
     corpus = gen_corpus(n_per_lang=600, seed=42)

@@ -38,7 +38,7 @@ def build_bench_session(cores: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
@@ -133,7 +133,7 @@ def main() -> None:
                                            "/root/testdata/sf0.1"))
     ap.add_argument("--mult", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "20")))
-    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
     spark = build_bench_session(args.cores)

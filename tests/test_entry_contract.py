@@ -92,3 +92,27 @@ def test_every_query_has_unique_semantics():
     assert set(oracle) <= set(qs), "oracle keys must be a subset of queries"
     # at least 20 SQL-checked pairs
     assert len(oracle) >= 20
+
+
+def test_committed_artifacts_match_fixture_training():
+    """artifacts/ (loaded by _models()) must equal the in-process
+    oracle-trained models bit-for-bit (the artifacts are just a cache)."""
+    import numpy as np
+    import pandas as pd
+
+    from yalder_spark.fixtures.gen import gen_corpus
+    from yalder_spark.operators.model import LanguageModel
+    from yalder_spark.oracle.pure_detector import train_oracle_model
+
+    model, ppl = entrymod._models()
+    corpus = gen_corpus(n_per_lang=600, seed=42)
+    tr = corpus[corpus["split"] == "train"]
+    om = train_oracle_model(list(zip(tr["lang"], tr["text"])))
+    rows = [(l, h, lp) for l, per in om.items() for h, lp in per.items()]
+    fresh = LanguageModel.from_pandas(
+        pd.DataFrame(rows, columns=["lang", "ngram_hash", "log_prob"]))
+    assert model.langs == fresh.langs
+    assert np.array_equal(model.vocab, fresh.vocab)
+    assert np.array_equal(model.log_probs, fresh.log_probs)
+    assert np.array_equal(model.trained, fresh.trained)
+    assert ppl.langs == ["__quality__"]

@@ -1,1 +1,32 @@
-"""yalder_spark — PySpark-native language-ID + quality-filter engine."""
+"""yalder_spark — PySpark-native language-ID + quality-filter engine.
+
+Public API (lazily imported so ``import yalder_spark`` stays cheap):
+
+    build_session, run_filter          — end-to-end job (pipeline.py)
+    train, LanguageModel               — model building (operators/)
+    detect_langs, quality_filter       — the two core operators
+    FilterConfig                       — frozen decision thresholds
+"""
+
+from __future__ import annotations
+
+_EXPORTS = {
+    "build_session": ("yalder_spark.pipeline", "build_session"),
+    "run_filter": ("yalder_spark.pipeline", "run_filter"),
+    "train": ("yalder_spark.operators.trainer", "train"),
+    "LanguageModel": ("yalder_spark.operators.model", "LanguageModel"),
+    "detect_langs": ("yalder_spark.operators.detector", "detect_langs"),
+    "quality_filter": ("yalder_spark.operators.filter", "quality_filter"),
+    "FilterConfig": ("yalder_spark.operators.filter", "FilterConfig"),
+}
+
+__all__ = list(_EXPORTS)
+
+
+def __getattr__(name: str):
+    if name in _EXPORTS:
+        import importlib
+
+        mod, attr = _EXPORTS[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

@@ -78,10 +78,7 @@ def score_batch(texts, model: LanguageModel, early_exit: bool = False) -> pd.Dat
     if early_exit:
         scores, n_used = _score_early_exit(hashes, doc_ids, n_docs, model)
     else:
-        lp = model.lookup(hashes)  # [n_langs, n_windows]
-        scores = np.empty((model.n_langs, n_docs))
-        for i in range(model.n_langs):
-            scores[i] = np.bincount(doc_ids, weights=lp[i], minlength=n_docs)
+        scores = model.score_sums(hashes, doc_ids, n_docs)
         n_used = n_grams
     lang, s, conf = _rank(scores, n_used, model.langs)
     return pd.DataFrame(

@@ -68,6 +68,26 @@ class LanguageModel:
         out[:, ~hit] = LOG_ALPHA
         return out
 
+    def score_sums(self, hashes: np.ndarray, doc_ids: np.ndarray,
+                   n_docs: int) -> np.ndarray:
+        """Fused H4+H5: per-doc per-lang log-prob sums,
+        ``float64 [n_langs, n_docs]`` — numerically identical to
+        ``lookup`` + bincount but gathers ONE language row at a time
+        (peak allocation n_windows*8B instead of n_langs*x; the gather
+        is the memory-bandwidth hot spot of the whole pipeline)."""
+        scores = np.zeros((self.n_langs, n_docs))
+        if len(hashes) == 0:
+            return scores
+        idx = np.searchsorted(self.vocab, hashes)
+        idx_c = np.minimum(idx, len(self.vocab) - 1)
+        miss = self.vocab[idx_c] != hashes
+        for i in range(self.n_langs):
+            row = self.log_probs[i, idx_c].astype(np.float64)
+            row[~self.trained[i, idx_c]] = LOG_ALPHA
+            row[miss] = LOG_ALPHA
+            scores[i] = np.bincount(doc_ids, weights=row, minlength=n_docs)
+        return scores
+
     # --- persistence -----------------------------------------------------
     @classmethod
     def from_pandas(cls, pdf: pd.DataFrame, meta: dict | None = None) -> "LanguageModel":

@@ -43,7 +43,10 @@ def build_session(app: str = "yalder-pipeline", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # measured sweet spot for ~KB content rows (BENCH): 256-512 rows
+        # per Arrow batch beats 2048 by ~1.4x (pipelining + cache-sized
+        # NumPy working sets); for multi-MB content lower it further
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
