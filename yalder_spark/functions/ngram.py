@@ -102,19 +102,28 @@ def batch_ngram_hashes(texts: pd.Series | list) -> tuple[np.ndarray, np.ndarray,
     )
     padded = np.where(norm.to_numpy() != "", " " + norm.to_numpy(dtype=object) + " ", "")
     big = _SEP.join(padded) + _SEP  # trailing sep keeps offsets uniform
-    codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
     if len(codes) < N:
         return np.empty(0, np.int64), np.empty(0, np.int64), n_docs
     win = np.lib.stride_tricks.sliding_window_view(codes, N)
     valid = (win != 0).all(axis=1)
-    h = _wrap_i32(win[:, 0] * _B3 + win[:, 1] * _B2 + win[:, 2] * _B1 + win[:, 3])
+    # Horner in int32: each step wraps mod 2^32 exactly like the Java
+    # polynomial (codepoints <= 0x10FFFF fit int32; int32 C-semantics
+    # wraparound IS the reference hash) — and int32 halves the memory
+    # traffic of the hot loop vs an int64 polynomial
+    h = win[:, 0] * np.int32(HASH_BASE)
+    h += win[:, 1]
+    h *= np.int32(HASH_BASE)
+    h += win[:, 2]
+    h *= np.int32(HASH_BASE)
+    h += win[:, 3]
     # map window start position -> document index
     lens = np.fromiter((len(p) for p in padded), count=n_docs, dtype=np.int64)
     starts = np.zeros(n_docs, np.int64)
     np.cumsum(lens[:-1] + len(_SEP), out=starts[1:])
     pos = np.nonzero(valid)[0]
     doc_ids = np.searchsorted(starts, pos, side="right") - 1
-    return h[pos], doc_ids, n_docs
+    return h[pos].astype(np.int64), doc_ids, n_docs
 
 
 def ngram_count_expr_len(norm_len: int) -> int:
