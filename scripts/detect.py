@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Language-detection CLI (parity with yalder's command-line tool
+module — reference checkout empty, SURVEY §0):
+
+    python scripts/detect.py --input docs.parquet --model model_dir \
+        [--text-col text] [--out out.parquet] [--early-exit]
+
+Without --out, prints a per-language summary and the first rows.
+With --text (instead of --input), detects a single string and prints
+the result — the moral equivalent of yalder's interactive mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input")
+    ap.add_argument("--text", help="detect a single string instead of a table")
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--out")
+    ap.add_argument("--early-exit", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from yalder_spark.operators.model import LanguageModel
+
+    model = LanguageModel.load(args.model)
+
+    if args.text is not None:
+        import pandas as pd
+
+        from yalder_spark.operators.detector import score_batch
+
+        res = score_batch(pd.Series([args.text]), model,
+                          early_exit=args.early_exit).iloc[0]
+        print(f"{res['detected_lang']}\tscore={res['lang_score']:.4f}\t"
+              f"confidence={res['lang_confidence']:.4f}\t"
+              f"n_ngrams={res['n_ngrams']}")
+        return
+
+    if not args.input:
+        ap.error("--input or --text required")
+
+    from run_filter import build_pyfiles_zip
+
+    from yalder_spark.pipeline import build_session
+
+    spark = build_session("yalder-detect", master=args.master)
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
+
+    from yalder_spark.operators.detector import detect_langs
+
+    df = spark.read.parquet(args.input)
+    out = detect_langs(df, model, args.text_col, early_exit=args.early_exit,
+                       keep_text=False)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        out.groupBy("detected_lang").count().orderBy("detected_lang").show()
+
+
+if __name__ == "__main__":
+    main()

@@ -111,3 +111,43 @@ def test_streaming_windowed_counts(spark):
                          suffixes=("_b", "_s"))
     assert len(merged) == len(batch) == len(stream)
     assert (merged["n_b"] == merged["n_s"]).all()
+
+
+def test_stateful_sessionization(spark):
+    """applyInPandasWithState custom stateful operator: closed sessions
+    match a batch-computed reference (lag + cumsum sessionization)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from yalder_spark.streaming.events import sessionize_stream
+
+    q = sessionize_stream(spark, SF, gap_minutes=30)
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM sessions").toPandas()
+    finally:
+        q.stop()
+
+    ev = spark.read.parquet(f"{SF}/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts")
+    ref = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn("new_sess",
+                    (F.col("prev").isNull() |
+                     (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800)
+                     ).cast("int"))
+        .withColumn("sess_id", F.sum("new_sess").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(F.count("*").alias("n_events"))
+    ).toPandas()
+    # the streaming operator only EMITS closed sessions (the last
+    # session per user stays in state) -> compare against the batch
+    # reference minus each user's final session
+    last_sess = ref.groupby("user_id")["sess_id"].transform("max")
+    closed_ref = ref[ref["sess_id"] != last_sess]
+    assert len(got) == len(closed_ref)
+    a = got.groupby("user_id")["n_events"].sum().sort_index()
+    b = closed_ref.groupby("user_id")["n_events"].sum().sort_index()
+    assert a.reindex(b.index).fillna(0).astype(int).equals(b.astype(int))

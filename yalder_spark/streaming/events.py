@@ -46,3 +46,61 @@ def windowed_counts_stream(spark: SparkSession, sf_dir: str,
     )
     return (agg.writeStream.outputMode("complete")
             .format("memory").queryName("events_windowed").start())
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str,
+                      gap_minutes: int = 30):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user session aggregation with a gap timeout — the
+    reference-free demo of arbitrary stateful processing (task spec:
+    'applyInPandasWithState for custom stateful operators').
+
+    State per user: (session_start, last_ts, n_events).  An event later
+    than ``gap_minutes`` after the previous one closes the session and
+    emits it.  Returns the started query writing closed sessions to the
+    in-memory table ``sessions``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        rows = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        all_ts = sorted(t for pdf in pdfs for t in pdf["ts"])
+        for ts in all_ts:
+            t = ts.timestamp()
+            if last is not None and t - last > gap_s:
+                rows.append((user_id, start, last, n))
+                start, n = t, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        state.update((start, last, n))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "session_start", "session_end", "n_events"])
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (spark.readStream.schema(schema)
+          .parquet(f"{sf_dir}/events.parque[t]")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    sessions = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, session_start double, "
+                             "session_end double, n_events long",
+            stateStructType="session_start double, last_ts double, n_events long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (sessions.writeStream.outputMode("append")
+            .format("memory").queryName("sessions").start())
