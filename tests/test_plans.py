@@ -57,7 +57,9 @@ def test_filter_pipeline_single_python_stage(spark, model_artifact, ppl_model):
 
     src = entrymod._documents_as_repo_table(spark, SF)
     plan = _plan(quality_filter(src, model_artifact, ppl_model))
-    assert _nodes(plan, "MapInPandas") == 1
+    n_py = _nodes(plan, "MapInPandas") + _nodes(plan, "MapInArrow") \
+        + _nodes(plan, "PythonMapInArrow")
+    assert n_py == 1, plan[:400]
     assert "sha2" in plan
 
 
