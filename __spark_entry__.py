@@ -375,6 +375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r5b_semi_join": R.q_semi_join,
         "r6_sort_limit": R.q_sort_limit,
         "r7_union": R.q_union,
+        "r9_rollup": R.q_rollup,
+        "r10_pivot": R.q_pivot,
         # detection dataflow (SURVEY §2.A)
         "h1_normalize": _q_h1_normalize,
         "h2_ngram_count": _q_h2_ngram_count,
@@ -477,6 +479,18 @@ def oracle_sql() -> dict[str, str]:
         "r6_sort_limit": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "r9_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "r10_pivot": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_open,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_filled
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "r7_union": """
             SELECT kind, nationkey, count(*) AS n FROM (

@@ -132,3 +132,32 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("*").alias("n_items"))
         .orderBy("o_orderpriority")
     )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 — rollup subtotals (grand total + per-returnflag + leaf)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 — pivot linestatus into columns (expressed as conditional
+    aggregation so the DuckDB oracle is dialect-portable)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.when(F.col("l_linestatus") == "O",
+                                 F.col("l_quantity")).otherwise(0.0)), 2
+                    ).alias("qty_open"),
+            F.round(F.sum(F.when(F.col("l_linestatus") == "F",
+                                 F.col("l_quantity")).otherwise(0.0)), 2
+                    ).alias("qty_filled"),
+        )
+        .orderBy("l_returnflag")
+    )
