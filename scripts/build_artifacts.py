@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Rebuild the committed model artifacts (artifacts/) from the seeded
+fixture corpus via the pure-Python oracle trainer — run ONCE per spec
+change, together with scripts/freeze_goldens.py.
+
+tests/test_entry_contract.py::test_committed_artifacts_match_fixture_training
+asserts the committed artifacts equal this exact construction bit-for-bit
+(the artifacts are just a cache of it).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from yalder_spark.fixtures.gen import gen_corpus, gen_ppl_corpus  # noqa: E402
+from yalder_spark.operators.model import LanguageModel  # noqa: E402
+from yalder_spark.oracle.pure_detector import train_oracle_model  # noqa: E402
+
+VERSION = "r2"
+
+
+def _to_model(oracle_model: dict, meta: dict) -> LanguageModel:
+    rows = [(lang, h, lp) for lang, per in oracle_model.items()
+            for h, lp in per.items()]
+    pdf = pd.DataFrame(rows, columns=["lang", "ngram_hash", "log_prob"])
+    return LanguageModel.from_pandas(pdf, meta)
+
+
+def main() -> None:
+    corpus = gen_corpus(n_per_lang=600, seed=42)
+    train = corpus[corpus["split"] == "train"]
+    om = train_oracle_model(list(zip(train["lang"], train["text"])))
+    m = _to_model(om, {"version": VERSION,
+                       "corpus": "fixtures.gen corpus n=600 seed=42"})
+    m.save(os.path.join(REPO, "artifacts", "langid_model"))
+
+    pm = train_oracle_model(
+        [("__quality__", t) for t in gen_ppl_corpus(seed=42)])
+    p = _to_model(pm, {"version": VERSION,
+                       "corpus": "fixtures.gen ppl corpus seed=42"})
+    p.save(os.path.join(REPO, "artifacts", "ppl_model"))
+    print(f"langid: {len(m.vocab)} vocab, langs={m.langs}")
+    print(f"ppl:    {len(p.vocab)} vocab")
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,10 @@ B1 ``repos``  — the input-hint-shaped source-code table
                injections (PII, toxicity, autogen markers, long lines,
                low-alpha rows, empty rows) recorded in sidecar columns.
 B2 ``corpus`` — multilingual langid train/eval corpus (Leipzig/EuroParl
-               proxy): 5 languages with disjoint word/char distributions.
+               proxy): 5 languages with OVERLAPPING word distributions
+               (shared loanwords + cross-lingual borrowings), so the
+               held-out accuracy gate is falsifiable (~0.98, floor
+               0.97) instead of a vacuous 1.00 (round-1 VERDICT item).
 
 Everything flows from ``random.Random(seed)`` with a FIXED generation
 order — same seed, same bytes, forever (goldens depend on it).
@@ -52,6 +55,19 @@ _zh_rng = random.Random(7)
 _ZH_WORDS = ["".join(_zh_rng.choice(_ZH_POOL) for _ in range(_zh_rng.randint(1, 3)))
              for _ in range(90)]
 
+# pan-European loanwords shared verbatim by all four Latin vocabularies —
+# with the cross-lingual borrowing below this overlaps the languages'
+# 4-gram distributions enough that held-out accuracy sits ~0.98 (a gate
+# that CAN fail), instead of 1.00 on disjoint vocabularies.
+_COMMON = ("hotel radio taxi animal natural central festival original total "
+           "normal local final real social material national personal general "
+           "digital international modern info data web internet").split()
+# frozen mixing spec (part of the golden spec — changing these
+# invalidates tests/golden): P(common loanword), P(borrow from another
+# Latin language)
+P_COMMON = 0.25
+P_BORROW = 0.16
+
 PROG_LANGS = ("py", "java", "js", "go", "md")
 _CODE_TMPL = {
     "py": "def handler_{i}(value):\n    # {c}\n    total = value * 3\n    return total\n",
@@ -65,9 +81,17 @@ _CODE_TMPL = {
 def sentence(rng: random.Random, lang: str, lo: int = 6, hi: int = 22) -> str:
     n = rng.randint(lo, hi)
     if lang == "zh":
-        words = [rng.choice(_ZH_WORDS) for _ in range(n)]
-    else:
-        words = [rng.choice(_VOCAB[lang]) for _ in range(n)]
+        return " ".join(rng.choice(_ZH_WORDS) for _ in range(n))
+    latin = [l for l in ("de", "en", "es", "fr") if l != lang]
+    words = []
+    for _ in range(n):
+        r = rng.random()
+        if r < P_COMMON:
+            words.append(rng.choice(_COMMON))
+        elif r < P_COMMON + P_BORROW:
+            words.append(rng.choice(_VOCAB[rng.choice(latin)]))
+        else:
+            words.append(rng.choice(_VOCAB[lang]))
     return " ".join(words)
 
 
