@@ -322,10 +322,22 @@ def _q_e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_e_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted near-dups: union the table with copies (vec_id + 10^6)
+    whose first coordinate is sign-flipped (EXACT in float32, so the
+    pure oracle replicates bit-for-bit; cosine = 1 - 2*v0^2/|v|^2 ~
+    0.9-0.999).  Round 1's run on raw random embeddings returned 0 rows
+    — a vacuously-passing check; this makes e4 a real detection test."""
     from yalder_spark.operators.dedup import embedding_neardup
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup(e, threshold=0.9).select(
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    dup = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x, i: F.when(i == 0, -x).otherwise(x)
+                    ).cast("array<float>").alias("embedding"),
+    )
+    return embedding_neardup(e.unionByName(dup), threshold=0.9).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -608,12 +620,16 @@ def oracle_sql() -> dict[str, str]:
                 (CASE WHEN regexp_matches(lower(text), '\ble\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bla\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bles\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bet\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\best\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bdans\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bpour\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bpas\b') THEN 1 ELSE 0 END) AS h_fr
               FROM documents)
             SELECT doc_id,
+              -- tie order matches the Spark side's greatest(struct(hits,
+              -- lang)): ties resolve to the lexicographically LARGEST
+              -- lang, so check fr, es, en, de (was de-first: latent
+              -- divergence flagged by the round-1 advisor)
               CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
                    WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-                   WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
-                   WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
-                   WHEN h_es >= h_fr THEN 'es'
-                   ELSE 'fr' END AS heuristic_lang
+                   WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                   WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                   WHEN h_en >= h_de THEN 'en'
+                   ELSE 'de' END AS heuristic_lang
             FROM hits
         """,
         "e1_ann_bruteforce": """

@@ -52,12 +52,66 @@ def test_simhash_neardup_distance(spark, docs_with_dups):
     cands = simhash_candidates(docs_with_dups).toPandas()
     near = cands[(cands["id_a"] < 1000) & (cands["id_b"] >= 2000)]
     planted = near[near["id_b"] - 2000 == near["id_a"]]
-    assert len(planted) == 10
+    # 4x16-bit banding: hamming <= 3 is GUARANTEED by pigeonhole; the
+    # rest probabilistically (recall < 1 is the documented LSH tradeoff)
+    import numpy as np
+
+    ham = {i: bin(int(np.uint64(s[i]) ^ np.uint64(s[2000 + i]))).count("1")
+           for i in range(10)}
+    found = set(planted["id_a"])
+    for i, d in ham.items():
+        if d <= 3:
+            assert i in found, f"pigeonhole pair {i} (hamming {d}) missed"
+    assert len(found) >= 7, f"only {sorted(found)} of 10 near-dups found ({ham})"
     assert (planted["hamming"] <= 20).all()
     # near-dups are much closer than random pairs
     rand = cands[(cands["id_a"] < 1000) & (cands["id_b"] < 1000)]
     if len(rand):
         assert planted["hamming"].mean() < rand["hamming"].mean()
+
+
+def test_simhash_candidates_skew_guard(spark, corpus_pdf):
+    """A degenerate bucket (one text repeated 300x) must NOT emit
+    300^2/2 pairs: the bucket cap drops it and candidate count stays
+    ~linear (the 100 TB guard; exact-dup monsters belong to
+    exact_dedup, which runs first in any sane pipeline)."""
+    from yalder_spark.operators.dedup import simhash_candidates
+
+    base = corpus_pdf[corpus_pdf["lang"] == "en"].head(200).reset_index(drop=True)
+    rows = [(i, t) for i, t in enumerate(base["text"])]
+    rows += [(10_000 + i, "the exact same monster document text") for i in range(300)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    cands = simhash_candidates(df, max_bucket=64).toPandas()
+    monster = cands[(cands["id_a"] >= 10_000) & (cands["id_b"] >= 10_000)]
+    assert len(monster) == 0, "capped bucket must emit no pairs"
+    assert len(cands) < 5_000, f"candidate blowup: {len(cands)}"
+
+
+def test_dedup_matches_pure_oracle(spark, docs_with_dups):
+    """MinHash+LSH+Jaccard and SimHash candidates vs the loop-based
+    pure-Python oracle (the driver-golden generator) — exact."""
+    from yalder_spark.operators.dedup import minhash_dedup, simhash, simhash_candidates
+    from yalder_spark.oracle.pure_ops import (
+        minhash_dedup_pure, simhash_candidates_pure, simhash_one,
+    )
+
+    pdf = docs_with_dups.toPandas()
+    docs = list(zip(pdf["doc_id"], pdf["text"]))
+
+    got_sim = simhash(docs_with_dups).toPandas().set_index("doc_id")["simhash"]
+    for i, t in docs[:50]:
+        assert got_sim[i] == simhash_one(t), f"simhash mismatch doc {i}"
+
+    got = minhash_dedup(docs_with_dups, threshold=0.7).toPandas()
+    got_pairs = sorted(zip(got["id_a"], got["id_b"], got["jaccard"]))
+    exp_pairs = minhash_dedup_pure(docs, threshold=0.7)
+    assert [(a, b) for a, b, _ in got_pairs] == [(a, b) for a, b, _ in exp_pairs]
+    for (_, _, jg), (_, _, je) in zip(got_pairs, exp_pairs):
+        assert jg == je  # same int division -> bitwise
+
+    got_c = simhash_candidates(docs_with_dups).toPandas()
+    got_c = sorted(zip(got_c["id_a"], got_c["id_b"], got_c["hamming"]))
+    assert got_c == simhash_candidates_pure(docs)
 
 
 def test_embedding_neardup(spark):
@@ -73,3 +127,33 @@ def test_embedding_neardup(spark):
 
     out = embedding_neardup(emb, threshold=0.95).toPandas()
     assert (0, 50) in set(zip(out["id_a"], out["id_b"]))
+
+    # multi-band oracle parity (pairs + bitwise cosine)
+    from yalder_spark.oracle.pure_ops import embedding_neardup_pure
+
+    got = sorted(zip(out["id_a"], out["id_b"], out["cosine"]))
+    exp = embedding_neardup_pure(
+        [(i, [float(x) for x in v]) for i, v in zip(pdf["vec_id"], vecs)],
+        threshold=0.95)
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in exp]
+    for (_, _, cg), (_, _, ce) in zip(got, exp):
+        assert cg == ce
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    """300 copies of one vector with max_bucket=64 -> every band bucket
+    for that vector is oversized and dropped; no quadratic pair list."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(64).astype(np.float32)
+    vecs = [base] * 300 + list(rng.standard_normal((50, 64)).astype(np.float32))
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+    from yalder_spark.operators.dedup import embedding_neardup
+
+    out = embedding_neardup(emb, threshold=0.9, max_bucket=64).toPandas()
+    clones = out[(out["id_a"] < 300) & (out["id_b"] < 300)]
+    assert len(clones) == 0, "capped bucket must emit no pairs"

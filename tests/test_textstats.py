@@ -49,6 +49,25 @@ def test_fingerprint_stability_and_containment(spark):
     assert out.loc[0, "fp_digest"] != out.loc[2, "fp_digest"]
 
 
+def test_fingerprint_matches_pure_oracle(spark, corpus_pdf):
+    """Flattened-window fingerprint vs the per-doc loop oracle — exact
+    on fingerprints AND digests, including edge compositions (empty doc,
+    doc shorter than the winnow window, long docs, all in one batch)."""
+    from yalder_spark.operators.textstats import fingerprint
+    from yalder_spark.oracle.pure_ops import winnow_fingerprint_one
+
+    texts = ["", "abcd", "tiny", "x", "!!!",
+             *corpus_pdf["text"].head(60).tolist(),
+             "one two three four five six seven eight nine ten" * 20]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (fingerprint(spark.createDataFrame(pdf))
+           .toPandas().set_index("doc_id").sort_index())
+    for i, t in enumerate(texts):
+        fp, digest = winnow_fingerprint_one(t)
+        assert list(out.loc[i, "fingerprint"]) == fp, f"doc {i}: {t[:30]!r}"
+        assert out.loc[i, "fp_digest"] == digest, f"doc {i}: {t[:30]!r}"
+
+
 def test_langcodes():
     from yalder_spark.functions.langcodes import normalize_lang
 

@@ -182,19 +182,35 @@ def simhash(df: DataFrame, text_col: str = "text",
     return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, simhash long")
 
 
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 16
+
+
 def simhash_candidates(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    """Near-dup candidates: equal 8-bit chunk in the same position
-    (8 bands; by pigeonhole, any pair with Hamming distance <= 7 always
-    collides, and distance <= ~16 collides with high probability)."""
+                       id_col: str = "doc_id",
+                       max_bucket: int = 256) -> DataFrame:
+    """Near-dup candidates: equal 16-bit chunk in the same position
+    (4 bands of 65,536 buckets; by pigeonhole any pair with Hamming
+    distance <= 3 always collides, distance <= ~8 with high
+    probability).  16-bit — not 8-bit — chunks keep expected bucket
+    size at n/65536 so candidate pairs stay ~linear in n, and the skew
+    guard drops any bucket with > ``max_bucket`` ids outright (a
+    degenerate bucket of B ids would emit B^2/2 pairs; run exact_dedup
+    first so identical-text monsters never reach this stage).  The
+    dropped-bucket list is tiny (bounded by n/max_bucket) -> broadcast
+    anti-join, no extra shuffle of the chunk rows."""
     s = simhash(df, text_col, id_col)
     chunks = s.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk"),
-                     F.shiftrightunsigned("simhash", 8 * i).bitwiseAND(0xFF).alias("v"))
-            for i in range(8)])).alias("c"),
+                     F.shiftrightunsigned("simhash", SIMHASH_CHUNK_BITS * i)
+                     .bitwiseAND(0xFFFF).alias("v"))
+            for i in range(SIMHASH_CHUNKS)])).alias("c"),
     ).select(id_col, "simhash", "c.chunk", "c.v")
+    big = (chunks.groupBy("chunk", "v").count()
+           .filter(F.col("count") > max_bucket).select("chunk", "v"))
+    chunks = chunks.join(F.broadcast(big), ["chunk", "v"], "left_anti")
     a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
                       "chunk", "v")
     b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
@@ -207,35 +223,60 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     ).select("id_a", "id_b", "hamming")
 
 
+EMB_N_BANDS = 8
+EMB_PLANES_PER_BAND = 12
+
+
 def embedding_neardup(emb: DataFrame, threshold: float = 0.95,
-                      id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dup pairs via random-hyperplane LSH
-    bucketing + in-bucket exact cosine (never the full cross join).
-    Buckets come from the sign pattern of 16 fixed random projections.
-    NOTE: like all LSH, recall < 1; pairs straddling a bucket boundary
-    can be missed (documented, acceptable for near-DUP at 0.95+)."""
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int = 64, n_bands: int = EMB_N_BANDS,
+                      planes_per_band: int = EMB_PLANES_PER_BAND,
+                      seed: int = 42, max_bucket: int = 1024) -> DataFrame:
+    """Embedding-cosine near-dup pairs via MULTI-BAND random-hyperplane
+    LSH (MinHash-banding shape): 8 bands x 12 sign bits; a pair is a
+    candidate if ANY band signature matches, then verified by exact
+    in-bucket cosine — never an all-pairs join.
+
+    Scale design (the round-1 single-16-bit-bucket version was
+    quadratic at 10^9 vectors): only (id, band, sig) int rows shuffle
+    for candidate generation (vectors are joined back by id for the
+    verify step, co-partitioned on id); per-band bucket count is
+    2^planes_per_band (raise planes_per_band at larger corpus sizes),
+    and any bucket with > ``max_bucket`` ids is dropped outright (skew
+    guard, same recall caveat as simhash_candidates).  Recall for
+    cos >= 0.95 pairs is ~0.93 with 8x12 (1-(1-(1-theta/pi)^12)^8);
+    misses are pairs straddling every band boundary — documented,
+    acceptable for near-dup removal."""
     from yalder_spark.operators.similarity import _hyperplanes, cosine_expr
 
-    planes = _hyperplanes(dim=64, n_planes=16, seed=42)
+    planes = _hyperplanes(dim=dim, n_planes=n_bands * planes_per_band, seed=seed)
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64))
 
     def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            v = np.stack(pdf[vec_col].to_numpy())
-            s = (v @ planes.T > 0).astype(np.uint64)
-            val = np.zeros(len(pdf), dtype=np.uint64)
-            for b in range(16):
-                val |= s[:, b] << np.uint64(b)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
-                                vec_col: pdf[vec_col],
-                                "bucket_sig": val.view(np.int64)})
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (v @ planes.T > 0).astype(np.int64)
+            sigs = (bits.reshape(len(pdf), n_bands, planes_per_band)
+                    * weights).sum(axis=2)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), len(pdf)),
+                "sig": sigs.reshape(-1),
+            })
 
-    schema = f"{id_col} long, {vec_col} array<float>, bucket_sig long"
-    sigs = emb.select(id_col, vec_col).mapInPandas(sig, schema)
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket_sig")
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket_sig")
+    bands = emb.select(id_col, vec_col).mapInPandas(
+        sig, f"{id_col} long, band int, sig long")
+    big = (bands.groupBy("band", "sig").count()
+           .filter(F.col("count") > max_bucket).select("band", "sig"))
+    bands = bands.join(F.broadcast(big), ["band", "sig"], "left_anti")
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
+    pairs = (a.join(b, ["band", "sig"]).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        a.join(b, "bucket_sig").filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(va, "id_a").join(vb, "id_b")
         .withColumn("cosine", cosine_expr("va", "vb"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -66,31 +66,40 @@ def image_features(df: DataFrame, decode: str = "fake",
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_ids, means, feats = [], [], []
-            for _, row in pdf.iterrows():
-                if decode == "real":
-                    raise NotImplementedError(
-                        "real image decode needs PIL/libjpeg — not in this "
-                        "container; use decode='fake'")
-                w = int(row["meta"]["width"] or 32)
-                h = int(row["meta"]["height"] or 32)
-                img = _fake_decode(row["payload"], w, h)
-                # resize by block-mean to resize_to x resize_to
+            if decode == "real":
+                raise NotImplementedError(
+                    "real image decode needs PIL/libjpeg — not in this "
+                    "container; use decode='fake'")
+            n = len(pdf)
+            means = np.empty((n, 3), np.float64)
+            feats = np.empty((n, 64), np.float32)
+            # the decode kernel is inherently per-row (and must stay
+            # row-seeded so output is batch-composition-invariant), but
+            # everything around it is array ops: channel means are exact
+            # integer sums / count, and the block-mean resize is two
+            # add.reduceat passes instead of a resize_to^2 Python loop
+            # (uint8 sums are exact in int64/float64, so these equal the
+            # old per-block .mean() slices bitwise)
+            for r, (payload, meta) in enumerate(
+                    zip(pdf["payload"].to_numpy(), pdf["meta"].to_numpy())):
+                w = int(meta["width"] or 32)
+                h = int(meta["height"] or 32)
+                img = _fake_decode(payload, w, h)
+                means[r] = img.reshape(-1, 3).sum(axis=0, dtype=np.int64) / (h * w)
                 ys = np.linspace(0, h, resize_to + 1).astype(int)
                 xs = np.linspace(0, w, resize_to + 1).astype(int)
-                small = np.stack([
-                    [img[ys[i]:max(ys[i + 1], ys[i] + 1),
-                         xs[j]:max(xs[j + 1], xs[j] + 1)].mean(axis=(0, 1))
-                     for j in range(resize_to)]
-                    for i in range(resize_to)])
+                sums = np.add.reduceat(
+                    np.add.reduceat(img.astype(np.int64), ys[:-1], axis=0),
+                    xs[:-1], axis=1)
+                cnt = (np.maximum(np.diff(ys), 1)[:, None, None]
+                       * np.maximum(np.diff(xs), 1)[None, :, None])
+                small = sums / cnt
                 gray = small.mean(axis=2)
-                # 8x8 block-mean -> 64-dim feature
                 g8 = gray.reshape(8, resize_to // 8, 8, resize_to // 8).mean(axis=(1, 3))
-                out_ids.append(row["media_id"])
-                means.append(img.mean(axis=(0, 1)).astype(float).tolist())
-                feats.append(g8.reshape(-1).astype(np.float32))
-            yield pd.DataFrame({"media_id": out_ids, "mean_rgb": means,
-                                "feat": feats})
+                feats[r] = g8.reshape(-1).astype(np.float32)
+            yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(),
+                                "mean_rgb": list(means),
+                                "feat": list(feats)})
 
     return (df.filter(F.col("kind") == "image")
             .select("media_id", "payload", "meta")

@@ -110,8 +110,13 @@ def ivf_topk(emb: DataFrame, query: list[float], k: int = 10,
     vectorized UDF, query probes the ``n_probe`` nearest centroid cells
     only.  At scale the assignment is precomputed and the cell id is a
     partition column -> partition-pruned scan."""
+    # first 2048 rows BY ID — orderBy+limit is a TakeOrdered (per-
+    # partition top-k, no global sort), and unlike a bare limit() the
+    # sample no longer depends on partition layout / scan order, so the
+    # centroids (and the pure-oracle replica) are deterministic
     sample = np.stack(
-        emb.select(vec_col).limit(2048).toPandas()[vec_col].to_numpy()
+        emb.select(id_col, vec_col).orderBy(id_col).limit(2048)
+        .toPandas()[vec_col].to_numpy()
     ).astype(np.float64)
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),

@@ -106,22 +106,50 @@ def fingerprint(df: DataFrame, text_col: str = "text",
             hashes, doc_ids, n_docs = batch_ngram_hashes(pdf[text_col])
             fps: list[list[int]] = [[] for _ in range(n_docs)]
             if len(hashes):
-                bounds = np.searchsorted(doc_ids, np.arange(n_docs + 1))
-                for d in range(n_docs):
-                    h = hashes[bounds[d]:bounds[d + 1]]
-                    if len(h) == 0:
-                        continue
-                    if len(h) <= WINNOW_WINDOW:
-                        fps[d] = [int(h.min())]
-                        continue
-                    win = np.lib.stride_tricks.sliding_window_view(h, WINNOW_WINDOW)
-                    fps[d] = sorted(set(win.min(axis=1).tolist()))
-            digest = [
-                int(np.bitwise_xor.reduce(
-                    np.array(f, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                ).view(np.int64)) if f else 0
-                for f in fps
-            ]
+                W = WINNOW_WINDOW
+                # ONE sliding window over the whole batch's flattened hash
+                # array; windows that straddle a document boundary are
+                # masked out (same trick as batch_ngram_hashes — the
+                # per-doc Python loop was the round-1 VERDICT item #7)
+                sel_doc = np.empty(0, np.int64)
+                sel_h = np.empty(0, np.int64)
+                if len(hashes) >= W:
+                    win = np.lib.stride_tricks.sliding_window_view(hashes, W)
+                    wmin = win.min(axis=1)
+                    valid = doc_ids[:len(wmin)] == doc_ids[W - 1:]
+                    sel_doc = doc_ids[:len(wmin)][valid]
+                    sel_h = wmin[valid].astype(np.int64)
+                # short docs (0 < n_hashes < W): single global min
+                counts = np.bincount(doc_ids, minlength=n_docs)
+                short = (counts > 0) & (counts < W)
+                if short.any():
+                    gmin = np.full(n_docs, np.iinfo(np.int64).max)
+                    np.minimum.at(gmin, doc_ids, hashes.astype(np.int64))
+                    sdocs = np.nonzero(short)[0]
+                    sel_doc = np.concatenate([sel_doc, sdocs])
+                    sel_h = np.concatenate([sel_h, gmin[sdocs]])
+                # per-doc sorted unique via one fused-key np.unique
+                # (hashes are 32-bit Horner values: bias to [0, 2^32))
+                keys = np.unique((sel_doc << np.int64(32))
+                                 | (sel_h + np.int64(1 << 31)))
+                kdoc = (keys >> np.int64(32)).astype(np.int64)
+                kh = (keys & np.int64(0xFFFFFFFF)) - np.int64(1 << 31)
+                starts = np.searchsorted(kdoc, np.arange(n_docs + 1))
+                fps = [kh[starts[d]:starts[d + 1]].tolist()
+                       for d in range(n_docs)]
+                # digest: xor-reduce of spread hashes per doc segment
+                # (int64 -> uint64 is the explicit two's-complement
+                # reinterp; np.array(list, uint64) on negatives is
+                # deprecated/raises on numpy >= 2.0)
+                spread = kh.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                nonempty = starts[:-1] < starts[1:]
+                digest = np.zeros(n_docs, np.uint64)
+                if nonempty.any():
+                    digest[nonempty] = np.bitwise_xor.reduceat(
+                        spread, starts[:-1][nonempty])
+                digest = digest.view(np.int64)
+            else:
+                digest = np.zeros(n_docs, np.int64)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
                                 "fingerprint": fps, "fp_digest": digest})
 

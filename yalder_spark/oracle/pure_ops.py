@@ -1,0 +1,353 @@
+"""Pure-Python, per-row oracles for the UDF-only training-data operators
+(dedup, similarity, fingerprints, multimodal) — the same role
+``pure_detector.py`` plays for H1-H8/Q1-Q8 (SURVEY.md §5.3).
+
+These re-derive each operator with plain loops and dicts, sharing ONLY
+the frozen constants / pure kernels with the production code
+(permutation parameters, hyperplane seeds, the 4-gram hasher, the fake
+decode): the vectorized Spark operators must match them exactly.  Their
+outputs over ``/root/testdata/sf0.01`` are frozen as driver goldens by
+``scripts/freeze_driver_goldens.py`` so the driver's DuckDB harness can
+hash-match the previously rows-only queries.
+
+Floating-point notes (the frozen numeric spec):
+* JVM ``F.aggregate`` folds arrays sequentially left-to-right in double;
+  the oracles replicate that exact fold (``_fold_dot``), NOT np.dot.
+* ``F.round`` on doubles is Java ``BigDecimal.valueOf`` (shortest-repr)
+  + HALF_UP; ``spark_round`` replicates it via ``Decimal(repr(x))``.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+from yalder_spark.functions.ngram import ngram_hashes_one
+from yalder_spark.operators.dedup import (
+    MERSENNE, N_BANDS, N_PERM, ROWS_PER_BAND, _PERM_A, _PERM_B,
+)
+
+
+def spark_round(x: float, d: int) -> float:
+    """Replica of Spark's Round(double, d): BigDecimal.valueOf (shortest
+    decimal repr) then setScale(d, HALF_UP)."""
+    if x is None or math.isnan(x) or math.isinf(x):
+        return x
+    q = Decimal(1).scaleb(-d)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _fold_dot(a, b) -> float:
+    """Sequential left fold (0 + a0*b0) + a1*b1 + ... in float64 —
+    bitwise-identical to F.aggregate(zip_with(...)) on the JVM."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def cosine_pure(a, b) -> float:
+    """Replica of operators.similarity.cosine_expr (JVM fold order)."""
+    dot = _fold_dot(a, b)
+    na = math.sqrt(_fold_dot(a, a))
+    nb = math.sqrt(_fold_dot(b, b))
+    return dot / (na * nb)
+
+
+def cosine_to_query_pure(vec, query: list[float]) -> float:
+    """Replica of operators.similarity.cosine_to_query: the query norm
+    is a pre-computed Python-float literal, not a JVM fold."""
+    q = [float(x) for x in query]
+    qn = float(np.sqrt(sum(x * x for x in q)))
+    dot = _fold_dot(vec, q)
+    n = math.sqrt(_fold_dot(vec, vec))
+    return dot / (n * qn)
+
+
+# --- dedup ------------------------------------------------------------------
+
+def _i64(x: int) -> int:
+    """Wrap a Python int to signed-int64 two's complement — the frozen
+    MinHash spec is the PRODUCTION's numpy-int64 arithmetic, where
+    a*h + b overflows and wraps before the % MERSENNE."""
+    x &= 0xFFFFFFFFFFFFFFFF
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def shingle_set(text: str) -> set[int]:
+    return set(ngram_hashes_one(text))
+
+
+def minhash_one(text: str) -> list[int]:
+    """64-perm MinHash signature of one document (loop form, int64
+    wraparound semantics matching _minhash_batch)."""
+    sh = shingle_set(text)
+    sig = []
+    for p in range(N_PERM):
+        a, b = int(_PERM_A[p]), int(_PERM_B[p])
+        best = MERSENNE
+        for h in sh:
+            hp = _i64(_i64(a * (h & 0x7FFFFFFF)) + b) % MERSENNE
+            if hp < best:
+                best = hp
+        sig.append(best)
+    return sig
+
+
+def lsh_band_hashes(sig: list[int]) -> list[int]:
+    """Fold each band's rows with the frozen Horner step (int64
+    wraparound then mod Mersenne, matching lsh_bands)."""
+    out = []
+    for band in range(N_BANDS):
+        acc = 0
+        for r in range(ROWS_PER_BAND):
+            acc = _i64(_i64(acc * 1000003) + sig[band * ROWS_PER_BAND + r]) % MERSENNE
+        out.append(acc)
+    return out
+
+
+def minhash_dedup_pure(docs: list[tuple[int, str]],
+                       threshold: float = 0.7) -> list[tuple[int, int, float]]:
+    """Full MinHash+LSH near-dup oracle: (id_a, id_b, jaccard) for
+    candidate pairs with exact shingle Jaccard >= threshold."""
+    sigs = {i: lsh_band_hashes(minhash_one(t)) for i, t in docs}
+    shingles = {i: shingle_set(t) for i, t in docs}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, bands in sigs.items():
+        for b, bh in enumerate(bands):
+            buckets.setdefault((b, bh), []).append(i)
+    cands = set()
+    for ids in buckets.values():
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = min(ids[x], ids[y]), max(ids[x], ids[y])
+                cands.add((a, b))
+    out = []
+    for a, b in sorted(cands):
+        sa, sb = shingles[a], shingles[b]
+        ni = len(sa & sb)
+        union = len(sa) + len(sb) - ni
+        j = ni / union if union else 0.0
+        if j >= threshold:
+            out.append((a, b, j))
+    return out
+
+
+def simhash_one(text: str) -> int:
+    """64-bit SimHash of one document (loop form): splitmix-spread each
+    4-gram hash to 64 bits, +/-1 vote per bit, sign -> bit.  Returns the
+    SIGNED int64 view (matches the Spark column)."""
+    hashes = ngram_hashes_one(text)
+    votes = [0] * 64
+    for h in hashes:
+        x = ((h & 0xFFFFFFFFFFFFFFFF) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        x &= 0xFFFFFFFFFFFFFFFF
+        for b in range(64):
+            votes[b] += 1 if (x >> b) & 1 else -1
+    val = 0
+    for b in range(64):
+        if votes[b] > 0:
+            val |= 1 << b
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 16
+
+
+def simhash_candidates_pure(docs: list[tuple[int, str]],
+                            max_bucket: int = 256,
+                            ) -> list[tuple[int, int, int]]:
+    """(id_a, id_b, hamming) for pairs sharing any 16-bit chunk, with
+    oversized buckets (> max_bucket ids) dropped entirely (skew guard)."""
+    fps = {i: simhash_one(t) for i, t in docs}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, fp in fps.items():
+        u = fp & 0xFFFFFFFFFFFFFFFF
+        for c in range(SIMHASH_CHUNKS):
+            v = (u >> (SIMHASH_CHUNK_BITS * c)) & 0xFFFF
+            buckets.setdefault((c, v), []).append(i)
+    cands = set()
+    for ids in buckets.values():
+        if len(ids) > max_bucket:
+            continue
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cands.add((min(ids[x], ids[y]), max(ids[x], ids[y])))
+    out = []
+    for a, b in sorted(cands):
+        ham = bin((fps[a] ^ fps[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        out.append((a, b, ham))
+    return out
+
+
+WINNOW_WINDOW = 8
+
+
+def winnow_fingerprint_one(text: str) -> tuple[list[int], int]:
+    """Winnowing fingerprint of one doc: sorted unique window-min hashes
+    + the xor digest (uint64 wraparound mult, signed int64 view)."""
+    h = ngram_hashes_one(text)
+    if not h:
+        return [], 0
+    if len(h) <= WINNOW_WINDOW:
+        fp = [min(h)]
+    else:
+        mins = set()
+        for i in range(len(h) - WINNOW_WINDOW + 1):
+            mins.add(min(h[i:i + WINNOW_WINDOW]))
+        fp = sorted(mins)
+    acc = 0
+    for f in fp:
+        acc ^= ((f & 0xFFFFFFFFFFFFFFFF) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    return fp, acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+def fingerprint_digest_one(text: str) -> int:
+    fp, digest = winnow_fingerprint_one(text)
+    return digest
+
+
+# --- similarity -------------------------------------------------------------
+
+def hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """The frozen hyperplane spec (same as similarity._hyperplanes)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def _sig_bits(vec, planes: np.ndarray) -> list[int]:
+    """Sign bits of the projections; the production path computes
+    stacked-matrix products, the oracle one row at a time (ulp-identical
+    for any projection not freakishly close to 0)."""
+    v = np.asarray(vec, np.float64)
+    return [1 if float(v @ p) > 0 else 0 for p in planes]
+
+
+def lsh_topk_pure(rows: list[tuple[int, list]], query: list[float], k: int = 10,
+                  n_planes: int = 16, hamming_radius: int = 7, seed: int = 42,
+                  ) -> list[tuple[int, float]]:
+    planes = hyperplanes(len(query), n_planes, seed)
+    qbits = _sig_bits(np.asarray(query, np.float64), planes)
+    scored = []
+    for vid, vec in rows:
+        bits = _sig_bits(np.asarray(vec, np.float64), planes)
+        ham = sum(a != b for a, b in zip(bits, qbits))
+        if ham <= hamming_radius:
+            scored.append((vid, cosine_to_query_pure(vec, query)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
+def ivf_topk_pure(rows: list[tuple[int, list]], query: list[float], k: int = 10,
+                  n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+                  ) -> list[tuple[int, float]]:
+    """Replica of ivf_topk: sample = first 2048 rows by ascending id
+    (the operator's orderBy(id).limit(2048) spec), seeded kmeans-lite,
+    probe n_probe nearest cells.  The kmeans arithmetic reuses the same
+    numpy ops as the operator — it IS the frozen spec (driver-side,
+    not a Spark dataflow)."""
+    by_id = sorted(rows)
+    sample = np.stack([np.asarray(v, np.float64) for _, v in by_id[:2048]])
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                             replace=False)]
+    for _ in range(8):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(0)
+    q = np.asarray(query, np.float64)
+    probe = set(np.argsort(((cent - q) ** 2).sum(1))[:n_probe].tolist())
+    scored = []
+    for vid, vec in rows:
+        v = np.asarray(vec, np.float64)
+        cell = int(((v[None, :] - cent) ** 2).sum(-1).argmin())
+        if cell in probe:
+            scored.append((vid, cosine_to_query_pure(vec, query)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
+EMB_N_BANDS = 8
+EMB_PLANES_PER_BAND = 12
+
+
+def embedding_neardup_pure(rows: list[tuple[int, list]],
+                           threshold: float = 0.95, dim: int = 64,
+                           n_bands: int = EMB_N_BANDS,
+                           planes_per_band: int = EMB_PLANES_PER_BAND,
+                           seed: int = 42, max_bucket: int = 1024,
+                           ) -> list[tuple[int, int, float]]:
+    """(id_a, id_b, cosine) for pairs sharing any band signature with
+    exact cosine >= threshold; oversized buckets dropped (skew guard)."""
+    planes = hyperplanes(dim, n_bands * planes_per_band, seed)
+    vecs = dict(rows)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for vid, vec in rows:
+        bits = _sig_bits(np.asarray(vec, np.float64), planes)
+        for b in range(n_bands):
+            sig = 0
+            for j in range(planes_per_band):
+                sig |= bits[b * planes_per_band + j] << j
+            buckets.setdefault((b, sig), []).append(vid)
+    cands = set()
+    for ids in buckets.values():
+        if len(ids) > max_bucket:
+            continue
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cands.add((min(ids[x], ids[y]), max(ids[x], ids[y])))
+    out = []
+    for a, b in sorted(cands):
+        cos = cosine_pure(vecs[a], vecs[b])
+        if cos >= threshold:
+            out.append((a, b, cos))
+    return out
+
+
+# --- training ---------------------------------------------------------------
+
+def ngram_counts_pure(rows: list[tuple[str, str]]) -> dict[tuple[str, int], int]:
+    """T2 oracle: (lang, ngram_hash) -> count, plain dicts."""
+    counts: dict[tuple[str, int], int] = {}
+    for lang, text in rows:
+        for h in ngram_hashes_one(text):
+            counts[(lang, h)] = counts.get((lang, h), 0) + 1
+    return counts
+
+
+def model_table_pure(rows: list[tuple[str, str]], min_count: int = 2,
+                     top_k: int = 500) -> list[tuple[str, int, float, int]]:
+    """T3+T4 oracle: (lang, ngram_hash, log_prob float32, cnt) with the
+    frozen prune order (count desc, hash asc) and pre-prune totals."""
+    counts = ngram_counts_pure(rows)
+    per_lang: dict[str, dict[int, int]] = {}
+    for (lang, h), c in counts.items():
+        per_lang.setdefault(lang, {})[h] = c
+    out = []
+    for lang, per in per_lang.items():
+        total = sum(per.values())
+        kept = sorted(((h, c) for h, c in per.items() if c >= min_count),
+                      key=lambda hc: (-hc[1], hc[0]))[:top_k]
+        for h, c in kept:
+            out.append((lang, h, float(np.float32(math.log(c / total))), c))
+    return out
+
+
+# --- multimodal -------------------------------------------------------------
+
+def image_mean_rgb_pure(payload: bytes, w: int, h: int) -> list[float]:
+    """Mean RGB of the fake-decoded image, computed EXACTLY: integer
+    channel sums / pixel count (uint8 sums are exact in float64, so any
+    correct mean implementation is bitwise-equal to this)."""
+    from yalder_spark.operators.multimodal import _fake_decode
+
+    img = _fake_decode(payload, w, h)
+    n = img.shape[0] * img.shape[1]
+    return [float(int(img[:, :, c].sum(dtype=np.int64)) / n) for c in range(3)]
