@@ -13,6 +13,7 @@ correctness gate is the pure-Python-oracle parity suite in tests/.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from functools import lru_cache
 
@@ -277,7 +278,11 @@ def _q_t34_model_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     m = build_model_df(d.select("lang", "text"), "text", "lang",
                        min_count=2, top_k=500)
-    return m.select("lang", "ngram_hash", F.round("log_prob", 6).alias("log_prob"),
+    # round on DOUBLE: F.round on the float32 column would return
+    # float32 again, whose repr ('-7.5732741355896') can't hash-match
+    # the golden's clean double
+    return m.select("lang", "ngram_hash",
+                    F.round(F.col("log_prob").cast("double"), 6).alias("log_prob"),
                     "cnt")
 
 
@@ -294,6 +299,13 @@ def _q_d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash(d, "text", "doc_id")
+
+
+def _q_d3b_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.dedup import simhash_candidates
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_candidates(d, "text", "doc_id")
 
 
 def _q_d4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_exact_dedup": _q_d1_exact_dedup,
         "d2_minhash_neardup": _q_d2_minhash,
         "d3_simhash": _q_d3_simhash,
+        "d3b_simhash_candidates": _q_d3b_simhash_candidates,
         "d4_fingerprint": _q_d4_fingerprint,
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
@@ -427,6 +440,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --- DuckDB oracle SQL ------------------------------------------------------
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '[\\W\\d_]+', ' ', 'g'))"
+
+# Frozen pure-Python-oracle outputs for the UDF-only queries (model
+# scoring, MinHash/SimHash/winnowing, ANN, multimodal — not
+# SQL-expressible).  Generated by scripts/freeze_driver_goldens.py from
+# /root/testdata/sf0.01 using ONLY yalder_spark/oracle/{pure_detector,
+# pure_ops}.py (loop-based, independent of the Spark operators); valid
+# at sf0.01, the driver's correctness scale factor.  This turns the
+# round-1 rows-only checks into full value-hash matches.
+_DRIVER_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests", "golden", "driver_sf0.01")
+
+
+def _golden_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{_DRIVER_GOLDEN_DIR}/{name}.parquet')"
+
+
+_GOLDEN_QUERIES = (
+    "h4_h8_detect", "q1_perplexity", "t2_ngram_counts", "t34_model_table",
+    "pipeline_flagship", "d2_minhash_neardup", "d3_simhash",
+    "d3b_simhash_candidates", "d4_fingerprint", "e2_ann_lsh", "e3_ann_ivf",
+    "e4_embedding_neardup", "m1_image_features",
+)
 _AUTOGEN_SQL = ("regexp_matches(text, '(?i)generated by|do not edit|"
                 "auto-generated|autogenerated|@generated|this file was automatically')")
 
@@ -443,7 +479,7 @@ def oracle_sql() -> dict[str, str]:
     tox = ("regexp_replace(text, '(?i)\\b(?:damn|hell|crap|stupid|idiot|moron|"
            "jackass)\\b', '<TOX>', 'g')")
 
-    return {
+    out = {
         "r1_filter_project": """
             SELECT l_orderkey, l_partkey, l_quantity, l_discount
             FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
@@ -654,3 +690,6 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }
+    for name in _GOLDEN_QUERIES:
+        out[name] = _golden_sql(name)
+    return out

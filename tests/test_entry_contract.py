@@ -94,6 +94,22 @@ def test_every_query_has_unique_semantics():
     assert len(oracle) >= 20
 
 
+def test_driver_documents_are_ascii():
+    """_NORM_SQL's '[\\W\\d_]+' runs under DuckDB/RE2 where \\W is
+    ASCII-only, while Spark-side normalize() uses Python Unicode \\W;
+    the h1/h2 oracles agree ONLY on ASCII text.  Guard the assumption
+    so new driver data trips this test instead of a silent hash drift."""
+    import pyarrow.parquet as pq
+
+    for sf in ("0.001", "0.01", "0.1"):
+        t = pq.read_table(f"/root/testdata/sf{sf}/documents.parquet",
+                          columns=["text"])
+        for chunk in t.column("text").chunks:
+            for v in chunk:
+                s = v.as_py()
+                assert s is None or s.isascii(), f"non-ASCII doc at sf{sf}"
+
+
 def test_committed_artifacts_match_fixture_training():
     """artifacts/ (loaded by _models()) must equal the in-process
     oracle-trained models bit-for-bit (the artifacts are just a cache)."""
