@@ -242,6 +242,19 @@ def _q_ev_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts_batch(spark, sf_dir, "1 hour")
 
 
+def _q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.streaming.events import sessionize_batch
+
+    return sessionize_batch(spark, sf_dir, gap_minutes=30)
+
+
+def _q_m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.multimodal import frame_sample, synth_media
+
+    media = synth_media(spark, n=48, seed=42)
+    return frame_sample(media, every_ms=5000)
+
+
 # --- UDF-only (rows-only) ---------------------------------------------------
 
 def _q_detect_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4b_join_agg": R.q_join_agg,
         "r5_anti_join": R.q_anti_join,
         "r5b_semi_join": R.q_semi_join,
+        "r5c_anti_join_pred": R.q_anti_join_pred,
         "r6_sort_limit": R.q_sort_limit,
         "r7_union": R.q_union,
         "r9_rollup": R.q_rollup,
@@ -432,8 +446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_ann_ivf": _q_e_ann_ivf,
         "e4_embedding_neardup": _q_e_neardup,
         "m1_image_features": _q_m_image_features,
-        # streaming-shaped batch window agg
+        "m2_frame_sample": _q_m2_frame_sample,
+        # streaming-shaped batch queries (stream equivalence pytested)
         "s1_events_windowed": _q_ev_windowed,
+        "s2_sessionize": _q_ev_sessionize,
     }
 
 
@@ -461,7 +477,7 @@ _GOLDEN_QUERIES = (
     "h4_h8_detect", "q1_perplexity", "t2_ngram_counts", "t34_model_table",
     "pipeline_flagship", "d2_minhash_neardup", "d3_simhash",
     "d3b_simhash_candidates", "d4_fingerprint", "e2_ann_lsh", "e3_ann_ivf",
-    "e4_embedding_neardup", "m1_image_features",
+    "e4_embedding_neardup", "m1_image_features", "m2_frame_sample",
 )
 _AUTOGEN_SQL = ("regexp_matches(text, '(?i)generated by|do not edit|"
                 "auto-generated|autogenerated|@generated|this file was automatically')")
@@ -523,6 +539,12 @@ def oracle_sql() -> dict[str, str]:
         "r5b_semi_join": """
             SELECT s_suppkey, s_name FROM supplier
             WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        """,
+        "r5c_anti_join_pred": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
         """,
         "r6_sort_limit": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -688,6 +710,25 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "s2_sessionize": """
+            WITH x AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                               > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM x)
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
     }
     for name in _GOLDEN_QUERIES:

@@ -140,7 +140,7 @@ def main() -> None:
         "",
         "Per-query seconds (best across attempts):",
         "",
-        "| query | local[8] | local[32] |",
+        f"| query | local[{lo}] | local[{hi}] |",
         "| --- | --- | --- |",
     ]
     for q in r_lo["queries"]:
@@ -148,7 +148,7 @@ def main() -> None:
     lines.append("")
     lines.append("Sandbox evidence for the N->4N executor criterion per the "
                  "driver instruction (no real cluster available): same job, "
-                 "same input, local[8] vs local[32].")
+                 f"same input, local[{lo}] vs local[{hi}].")
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({k: result[k] for k in

@@ -194,6 +194,24 @@ def g_m1_image_features(docs, model, ppl) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["media_id", "mean_r"])
 
 
+def g_m2_frame_sample(docs, model, ppl) -> pd.DataFrame:
+    # same rng-consumption replica as g_m1 (video rows: i % 3 == 2)
+    rng = np.random.RandomState(42)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(48):
+        kind = kinds[i % 3]
+        rng.bytes(128 + int(rng.randint(0, 256)))
+        rng.randint(0, 64)  # width
+        rng.randint(0, 64)  # height
+        duration = int(rng.randint(1000, 60000))
+        if kind == "video":
+            for ts in range(0, duration + 1, 5000):
+                rows.append((i, ts, False))
+    return pd.DataFrame(rows, columns=["media_id", "frame_ts_ms",
+                                       "frame_decoded"])
+
+
 GOLDENS = {
     "h4_h8_detect": g_h4_h8_detect,
     "q1_perplexity": g_q1_perplexity,
@@ -208,6 +226,7 @@ GOLDENS = {
     "e3_ann_ivf": g_e3_ann_ivf,
     "e4_embedding_neardup": g_e4_embedding_neardup,
     "m1_image_features": g_m1_image_features,
+    "m2_frame_sample": g_m2_frame_sample,
 }
 
 

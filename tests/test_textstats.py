@@ -134,11 +134,9 @@ def test_streaming_windowed_counts(spark):
 
 def test_stateful_sessionization(spark):
     """applyInPandasWithState custom stateful operator: closed sessions
-    match a batch-computed reference (lag + cumsum sessionization)."""
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
-    from yalder_spark.streaming.events import sessionize_stream
+    match the BATCH sessionization operator (sessionize_batch — the s2
+    driver query), so stream and batch agree on session boundaries."""
+    from yalder_spark.streaming.events import sessionize_batch, sessionize_stream
 
     q = sessionize_stream(spark, SF, gap_minutes=30)
     try:
@@ -147,20 +145,8 @@ def test_stateful_sessionization(spark):
     finally:
         q.stop()
 
-    ev = spark.read.parquet(f"{SF}/events.parquet") \
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    w = W.partitionBy("user_id").orderBy("ts")
-    ref = (
-        ev.withColumn("prev", F.lag("ts").over(w))
-        .withColumn("new_sess",
-                    (F.col("prev").isNull() |
-                     (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800)
-                     ).cast("int"))
-        .withColumn("sess_id", F.sum("new_sess").over(
-            w.rowsBetween(W.unboundedPreceding, 0)))
-        .groupBy("user_id", "sess_id")
-        .agg(F.count("*").alias("n_events"))
-    ).toPandas()
+    ref = (sessionize_batch(spark, SF, gap_minutes=30).toPandas()
+           .rename(columns={"session_id": "sess_id"}))
     # the streaming operator only EMITS closed sessions (the last
     # session per user stays in state) -> compare against the batch
     # reference minus each user's final session

@@ -85,6 +85,22 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anti_join_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5c — anti-join against a FILTERED right side (customers with no
+    urgent order).  r5's right side matches every customer in the
+    driver data, so it returns 0 rows — a true but zero-information
+    check; this variant returns ~200 rows at sf0.01 so the driver's
+    value hash actually exercises the anti-join path."""
+    c = load(spark, sf_dir, "customer")
+    o = (load(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5b — EXISTS (left semi)."""
     s = load(spark, sf_dir, "supplier")

@@ -48,6 +48,35 @@ def windowed_counts_stream(spark: SparkSession, sf_dir: str,
             .format("memory").queryName("events_windowed").start())
 
 
+def sessionize_batch(spark: SparkSession, sf_dir: str,
+                     gap_minutes: int = 30) -> DataFrame:
+    """Batch-equivalent of ``sessionize_stream`` (identical session
+    boundaries on a static table): classic gap-based sessionization as
+    a declarative plan — lag diff > gap marks a break, running sum of
+    breaks numbers the sessions, then one aggregate per session.  Two
+    window passes + one groupBy, all on the same (user_id, ts)
+    partitioning, so Catalyst plans ONE shuffle."""
+    from pyspark.sql import Window as W
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_s = gap_minutes * 60
+    brk = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        > gap_s, 1).otherwise(0)
+    sess = (ev.withColumn("session_id",
+                          F.sum(brk).over(
+                              w.rowsBetween(W.unboundedPreceding, 0))))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
 def sessionize_stream(spark: SparkSession, sf_dir: str,
                       gap_minutes: int = 30):
     """Custom stateful streaming operator (applyInPandasWithState):
