@@ -81,6 +81,98 @@ def _wrap_i32(h: np.ndarray) -> np.ndarray:
     return ((h + 2**31) % 2**32) - 2**31
 
 
+# keep iff the codepoint is a letter — the complement of the [\W\d_]
+# replacement class (single-char match is exact: the class is per-char)
+_KEEP_RE = re.compile(r"[^\W\d_]")
+_SPACE = np.int32(32)
+
+
+_KEEP_TABLE_SIZE = 0x600  # Latin + extensions + Greek/Cyrillic start
+_KEEP_TABLE: np.ndarray | None = None
+
+
+def _keep_flags(codes: np.ndarray) -> np.ndarray:
+    """bool[len(codes)]: does each codepoint survive normalization?
+    Classified with Python re (so the batched path matches
+    normalize()'s Unicode \\W exactly) — via a cached direct table for
+    the low plane (one gather, no per-batch sort) and per-unique
+    classification for the rare high codepoints."""
+    global _KEEP_TABLE
+    if _KEEP_TABLE is None:
+        m = _KEEP_RE.match
+        _KEEP_TABLE = np.fromiter(
+            (m(chr(c)) is not None for c in range(_KEEP_TABLE_SIZE)),
+            count=_KEEP_TABLE_SIZE, dtype=bool)
+    high = codes >= _KEEP_TABLE_SIZE
+    if not high.any():
+        return _KEEP_TABLE[codes]
+    keep = _KEEP_TABLE[np.where(high, 0, codes)]
+    hc = codes[high]
+    uniq = np.unique(hc)
+    m = _KEEP_RE.match
+    tbl = {int(c): m(chr(c)) is not None for c in uniq.tolist()}
+    keep[high] = np.fromiter((tbl[int(c)] for c in hc.tolist()),
+                             count=len(hc), dtype=bool)
+    return keep
+
+
+def _normalized_padded_codes(
+        s: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """H1 in codepoint space: returns (codes int32, doc_out_starts int64,
+    doc_seg_lens int64, n_docs) where codes is the concatenation, per
+    doc, of the PADDED normalized text (" tok1 tok2 ... ") followed by 3
+    NUL separators (empty docs contribute separators only) —
+    byte-identical to pad(normalize(doc)) per doc, but with ONE regex
+    call per cached codepoint instead of one regex SCAN per document."""
+    n_docs = len(s)
+    lowered = s.fillna("").astype("object").str.lower().to_numpy(dtype=object)
+    big = "\x00".join(lowered) + "\x00"
+    codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+    lens = np.fromiter((len(v) for v in lowered), count=n_docs, dtype=np.int64)
+    in_starts = np.zeros(n_docs, np.int64)
+    np.cumsum(lens[:-1] + 1, out=in_starts[1:])
+
+    keep = _keep_flags(codes)
+
+    kept_pos = np.nonzero(keep)[0]
+    kept_doc = np.searchsorted(in_starts, kept_pos, side="right") - 1
+    # token start = kept char whose predecessor is not kept (separators
+    # are never kept, so tokens cannot straddle documents)
+    tok_start = np.empty(len(kept_pos), bool)
+    if len(kept_pos):
+        tok_start[0] = True
+        tok_start[1:] = kept_pos[1:] != kept_pos[:-1] + 1
+    n_kept = np.bincount(kept_doc, minlength=n_docs)
+    n_toks = np.bincount(kept_doc[tok_start], minlength=n_docs) \
+        if len(kept_pos) else np.zeros(n_docs, np.int64)
+
+    # per-doc output segment: n_kept + n_toks + 1 chars (k tokens joined
+    # and surrounded by single spaces), or 0 for token-less docs; plus 3
+    # NUL separators after every doc
+    out_len = np.where(n_toks > 0, n_kept + n_toks + 1, 0)
+    out_starts = np.zeros(n_docs, np.int64)
+    np.cumsum(out_len[:-1] + 3, out=out_starts[1:])
+    total = int(out_len.sum() + 3 * n_docs)
+    # init everything to space, then punch the 3-NUL separator holes
+    # (3*n_docs writes instead of a segment-sized index construction)
+    out = np.full(total, _SPACE, np.int32)
+    sep_at = (out_starts + out_len)[:, None] + np.arange(3)
+    out[sep_at.ravel()] = 0
+
+    if len(kept_pos):
+        # kept char positions: start + 1 (leading space) + within-doc
+        # kept rank + within-doc token index (one space between tokens)
+        first_rank = np.searchsorted(kept_doc, np.arange(n_docs))
+        r_within = np.arange(len(kept_pos)) - first_rank[kept_doc]
+        tok_id = np.cumsum(tok_start) - 1
+        first_tok = np.zeros(n_docs, np.int64)
+        np.cumsum(n_toks[:-1], out=first_tok[1:])
+        t_within = tok_id - first_tok[kept_doc]
+        out[out_starts[kept_doc] + 1 + r_within + t_within] = codes[kept_pos]
+
+    return out, out_starts, out_len, n_docs
+
+
 def batch_ngram_hashes(texts: pd.Series | list) -> tuple[np.ndarray, np.ndarray, int]:
     """Vectorized H1-H3 over a batch of documents.
 
@@ -90,23 +182,22 @@ def batch_ngram_hashes(texts: pd.Series | list) -> tuple[np.ndarray, np.ndarray,
     simply contribute no windows.
     """
     s = pd.Series(texts, dtype="object") if not isinstance(texts, pd.Series) else texts
-    n_docs = len(s)
-    if n_docs == 0:
+    if len(s) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64), 0
-    norm = (
-        s.fillna("")
-        .astype("object")
-        .str.lower()
-        .str.replace(_NORM_RE, " ", regex=True)
-        .str.strip()
-    )
-    padded = np.where(norm.to_numpy() != "", " " + norm.to_numpy(dtype=object) + " ", "")
-    big = _SEP.join(padded) + _SEP  # trailing sep keeps offsets uniform
-    codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+    codes, starts, seg_lens, n_docs = _normalized_padded_codes(s)
     if len(codes) < N:
         return np.empty(0, np.int64), np.empty(0, np.int64), n_docs
     win = np.lib.stride_tricks.sliding_window_view(codes, N)
-    valid = (win != 0).all(axis=1)
+    # a window is invalid iff it contains a NUL — and NULs exist ONLY at
+    # the 3 separator slots after each doc, so scatter-invalidate the
+    # <= 4 window starts touching each NUL (O(n_docs) writes) instead of
+    # scanning every window x 4 chars
+    n_win = len(codes) - N + 1
+    valid = np.ones(n_win, bool)
+    nul_pos = (starts + seg_lens)[:, None] + np.arange(3)  # [n_docs, 3]
+    for off in range(N):
+        p = nul_pos.ravel() - off
+        valid[np.clip(p[p >= 0], 0, n_win - 1)] = False
     # Horner in int32: each step wraps mod 2^32 exactly like the Java
     # polynomial (codepoints <= 0x10FFFF fit int32; int32 C-semantics
     # wraparound IS the reference hash) — and int32 halves the memory
@@ -117,12 +208,11 @@ def batch_ngram_hashes(texts: pd.Series | list) -> tuple[np.ndarray, np.ndarray,
     h += win[:, 2]
     h *= np.int32(HASH_BASE)
     h += win[:, 3]
-    # map window start position -> document index
-    lens = np.fromiter((len(p) for p in padded), count=n_docs, dtype=np.int64)
-    starts = np.zeros(n_docs, np.int64)
-    np.cumsum(lens[:-1] + len(_SEP), out=starts[1:])
     pos = np.nonzero(valid)[0]
-    doc_ids = np.searchsorted(starts, pos, side="right") - 1
+    # doc of a window = doc of its start position (one repeat + gather
+    # beats a per-element binary search)
+    doc_of_pos = np.repeat(np.arange(n_docs, dtype=np.int64), seg_lens + 3)
+    doc_ids = doc_of_pos[pos]
     return h[pos].astype(np.int64), doc_ids, n_docs
 
 

@@ -68,6 +68,22 @@ class LanguageModel:
         out[:, ~hit] = LOG_ALPHA
         return out
 
+    def _scoring_matrix(self) -> np.ndarray:
+        """float64 [n_langs, vocab+1] with untrained cells pre-filled at
+        exact float64 log(alpha) and a LOG_ALPHA sentinel column at
+        index ``len(vocab)`` for misses — computed once per model (a few
+        hundred KB), so per-batch scoring is ONE gather per language:
+        no astype, no trained-mask fill, no per-language miss fill.
+        Values are identical: float64(float32 cell) cast once vs per
+        batch is the same number."""
+        sm = self.__dict__.get("_sm")
+        if sm is None:
+            sm = np.full((self.n_langs, len(self.vocab) + 1), LOG_ALPHA)
+            sm[:, :-1] = self.log_probs.astype(np.float64)
+            sm[:, :-1][~self.trained] = LOG_ALPHA
+            self.__dict__["_sm"] = sm
+        return sm
+
     def score_sums(self, hashes: np.ndarray, doc_ids: np.ndarray,
                    n_docs: int) -> np.ndarray:
         """Fused H4+H5: per-doc per-lang log-prob sums,
@@ -80,12 +96,11 @@ class LanguageModel:
             return scores
         idx = np.searchsorted(self.vocab, hashes)
         idx_c = np.minimum(idx, len(self.vocab) - 1)
-        miss = self.vocab[idx_c] != hashes
+        idx_c[self.vocab[idx_c] != hashes] = len(self.vocab)  # miss sentinel
+        sm = self._scoring_matrix()
         for i in range(self.n_langs):
-            row = self.log_probs[i, idx_c].astype(np.float64)
-            row[~self.trained[i, idx_c]] = LOG_ALPHA
-            row[miss] = LOG_ALPHA
-            scores[i] = np.bincount(doc_ids, weights=row, minlength=n_docs)
+            scores[i] = np.bincount(doc_ids, weights=sm[i, idx_c],
+                                    minlength=n_docs)
         return scores
 
     # --- persistence -----------------------------------------------------
