@@ -227,6 +227,13 @@ def _q_t_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_stopword(d, "text", "doc_id")
 
 
+def _q_t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.textstats import repetition_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(d, "text", "doc_id")
+
+
 def _q_e_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.similarity import brute_force_topk
 
@@ -441,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
         "x3_langid_stopword": _q_t_langid_stopword,
+        "x4_repetition": _q_t_repetition,
         "e1_ann_bruteforce": _q_e_ann_bruteforce,
         "e2_ann_lsh": _q_e_ann_lsh,
         "e3_ann_ivf": _q_e_ann_ivf,
@@ -689,6 +697,18 @@ def oracle_sql() -> dict[str, str]:
                    WHEN h_en >= h_de THEN 'en'
                    ELSE 'de' END AS heuristic_lang
             FROM hits
+        """,
+        "x4_repetition": """
+            WITH l AS (SELECT doc_id, split(text, chr(10)) AS lines
+                       FROM documents)
+            SELECT doc_id,
+                   len(lines)::BIGINT AS n_lines,
+                   round(1 - len(list_distinct(lines)) / len(lines)::DOUBLE,
+                         6) AS dup_line_frac,
+                   round(list_max(list_transform(lines,
+                           l2 -> len(list_filter(lines, x -> x = l2))))
+                         / len(lines)::DOUBLE, 6) AS max_line_freq_ratio
+            FROM l
         """,
         "e1_ann_bruteforce": """
             WITH q AS (SELECT [CAST(((i * 37) % 19 - 9) AS DOUBLE) / 10.0

@@ -49,6 +49,23 @@ def test_fingerprint_stability_and_containment(spark):
     assert out.loc[0, "fp_digest"] != out.loc[2, "fp_digest"]
 
 
+def test_repetition_stats(spark):
+    from yalder_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a\nb\nc", "a\na\na\na", "x\ny\nx\ny", ""],
+    }))
+    out = repetition_stats(df).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "n_lines"] == 3 and out.loc[0, "dup_line_frac"] == 0.0
+    assert out.loc[0, "max_line_freq_ratio"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out.loc[1, "dup_line_frac"] == 0.75
+    assert out.loc[1, "max_line_freq_ratio"] == 1.0
+    assert out.loc[2, "dup_line_frac"] == 0.5
+    assert out.loc[2, "max_line_freq_ratio"] == 0.5
+    assert out.loc[3, "n_lines"] == 1 and out.loc[3, "dup_line_frac"] == 0.0
+
+
 def test_fingerprint_matches_pure_oracle(spark, corpus_pdf):
     """Flattened-window fingerprint vs the per-doc loop oracle — exact
     on fingerprints AND digests, including edge compositions (empty doc,

@@ -127,7 +127,17 @@ def _normalized_padded_codes(
     n_docs = len(s)
     lowered = s.fillna("").astype("object").str.lower().to_numpy(dtype=object)
     big = "\x00".join(lowered) + "\x00"
-    codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+    # latin-1 fast path: for codepoints <= 255 the byte value IS the
+    # codepoint, so 1 byte/char instead of UTF-32's 4 — the hot arrays
+    # are memory-bandwidth bound at 32 cores, this is a 4x traffic cut.
+    # Non-latin batches fall back to the exact same math on int32.
+    try:
+        codes = np.frombuffer(big.encode("latin-1"), dtype=np.uint8)
+        dtype = np.uint8
+    except UnicodeEncodeError:
+        codes = np.frombuffer(big.encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.int32)
+        dtype = np.int32
     lens = np.fromiter((len(v) for v in lowered), count=n_docs, dtype=np.int64)
     in_starts = np.zeros(n_docs, np.int64)
     np.cumsum(lens[:-1] + 1, out=in_starts[1:])
@@ -155,7 +165,7 @@ def _normalized_padded_codes(
     total = int(out_len.sum() + 3 * n_docs)
     # init everything to space, then punch the 3-NUL separator holes
     # (3*n_docs writes instead of a segment-sized index construction)
-    out = np.full(total, _SPACE, np.int32)
+    out = np.full(total, _SPACE, dtype)
     sep_at = (out_starts + out_len)[:, None] + np.arange(3)
     out[sep_at.ravel()] = 0
 
@@ -200,9 +210,10 @@ def batch_ngram_hashes(texts: pd.Series | list) -> tuple[np.ndarray, np.ndarray,
         valid[np.clip(p[p >= 0], 0, n_win - 1)] = False
     # Horner in int32: each step wraps mod 2^32 exactly like the Java
     # polynomial (codepoints <= 0x10FFFF fit int32; int32 C-semantics
-    # wraparound IS the reference hash) — and int32 halves the memory
-    # traffic of the hot loop vs an int64 polynomial
-    h = win[:, 0] * np.int32(HASH_BASE)
+    # wraparound IS the reference hash).  codes may be uint8 (latin-1
+    # fast path) or int32 — byte value == codepoint either way.
+    h = win[:, 0].astype(np.int32)
+    h *= np.int32(HASH_BASE)
     h += win[:, 1]
     h *= np.int32(HASH_BASE)
     h += win[:, 2]
@@ -210,9 +221,9 @@ def batch_ngram_hashes(texts: pd.Series | list) -> tuple[np.ndarray, np.ndarray,
     h += win[:, 3]
     pos = np.nonzero(valid)[0]
     # doc of a window = doc of its start position (one repeat + gather
-    # beats a per-element binary search)
-    doc_of_pos = np.repeat(np.arange(n_docs, dtype=np.int64), seg_lens + 3)
-    doc_ids = doc_of_pos[pos]
+    # beats a per-element binary search; int32 halves the repeat traffic)
+    doc_of_pos = np.repeat(np.arange(n_docs, dtype=np.int32), seg_lens + 3)
+    doc_ids = doc_of_pos[pos].astype(np.int64)
     return h[pos].astype(np.int64), doc_ids, n_docs
 
 

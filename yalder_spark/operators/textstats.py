@@ -91,6 +91,28 @@ def langid_stopword(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """x4 — repetition signals (the Gopher/RefinedWeb-style duplicate-
+    line filters a training-data pipeline runs): duplicate-line fraction
+    and the most-frequent line's share.  Computed per document with
+    higher-order array functions (array_distinct / transform / filter) —
+    JVM-side, shuffle-free, O(L^2) in the doc's line count which is what
+    keeps it embarrassingly parallel at 100 TB (no explode+groupBy
+    shuffle of every line in the corpus)."""
+    lines = F.split(F.col(text_col), "\n")
+    n = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    freq = F.transform(
+        lines, lambda l: F.size(F.filter(lines, lambda x: x == l)))
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_lines"),
+        F.round(1 - n_dist / n, 6).alias("dup_line_frac"),
+        F.round(F.array_max(freq) / n, 6).alias("max_line_freq_ratio"),
+    )
+
+
 WINNOW_WINDOW = 8
 
 
