@@ -262,6 +262,16 @@ def _q_m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_ms=5000)
 
 
+def _q_m3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.multimodal import audio_features, synth_media
+
+    media = synth_media(spark, n=48, seed=42)
+    out = audio_features(media, decode="fake")
+    return out.select("media_id", "n_samples",
+                      F.round("rms", 6).alias("rms"),
+                      F.round("zero_cross_rate", 6).alias("zero_cross_rate"))
+
+
 # --- UDF-only (rows-only) ---------------------------------------------------
 
 def _q_detect_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e4_embedding_neardup": _q_e_neardup,
         "m1_image_features": _q_m_image_features,
         "m2_frame_sample": _q_m2_frame_sample,
+        "m3_audio_features": _q_m3_audio_features,
         # streaming-shaped batch queries (stream equivalence pytested)
         "s1_events_windowed": _q_ev_windowed,
         "s2_sessionize": _q_ev_sessionize,
@@ -486,6 +497,7 @@ _GOLDEN_QUERIES = (
     "pipeline_flagship", "d2_minhash_neardup", "d3_simhash",
     "d3b_simhash_candidates", "d4_fingerprint", "e2_ann_lsh", "e3_ann_ivf",
     "e4_embedding_neardup", "m1_image_features", "m2_frame_sample",
+    "m3_audio_features",
 )
 _AUTOGEN_SQL = ("regexp_matches(text, '(?i)generated by|do not edit|"
                 "auto-generated|autogenerated|@generated|this file was automatically')")

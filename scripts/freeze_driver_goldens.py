@@ -212,6 +212,24 @@ def g_m2_frame_sample(docs, model, ppl) -> pd.DataFrame:
                                        "frame_decoded"])
 
 
+def g_m3_audio_features(docs, model, ppl) -> pd.DataFrame:
+    # same rng-consumption replica as g_m1 (audio rows: i % 3 == 1)
+    rng = np.random.RandomState(42)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(48):
+        kind = kinds[i % 3]
+        payload = rng.bytes(128 + int(rng.randint(0, 256)))
+        rng.randint(0, 64)  # width
+        rng.randint(0, 64)  # height
+        duration = int(rng.randint(1000, 60000))
+        if kind == "audio":
+            n, rms, zcr = P.audio_features_pure(payload, duration)
+            rows.append((i, n, P.spark_round(rms, 6), P.spark_round(zcr, 6)))
+    return pd.DataFrame(rows, columns=["media_id", "n_samples", "rms",
+                                       "zero_cross_rate"])
+
+
 GOLDENS = {
     "h4_h8_detect": g_h4_h8_detect,
     "q1_perplexity": g_q1_perplexity,
@@ -227,6 +245,7 @@ GOLDENS = {
     "e4_embedding_neardup": g_e4_embedding_neardup,
     "m1_image_features": g_m1_image_features,
     "m2_frame_sample": g_m2_frame_sample,
+    "m3_audio_features": g_m3_audio_features,
 }
 
 

@@ -79,6 +79,22 @@ def test_resume_antijoin_is_broadcast(spark, tmp_path, model_artifact, ppl_model
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_dedup_bucket_caps_are_broadcast_anti_joins(spark):
+    """The skew guards in simhash_candidates and embedding_neardup must
+    drop oversized buckets via a BROADCAST LeftAnti (the oversized list
+    is <= n/max_bucket rows) — a shuffled anti-join would defeat the
+    point at 100 TB."""
+    from yalder_spark.operators.dedup import embedding_neardup, simhash_candidates
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(simhash_candidates(d, "text", "doc_id"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:600]
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(embedding_neardup(e))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:600]
+
+
 def test_sort_limit_is_takeordered(spark):
     plan = _plan(entrymod.queries()["r6_sort_limit"](spark, SF))
     assert "TakeOrderedAndProject" in plan, "global top-k must not full-sort"

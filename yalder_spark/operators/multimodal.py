@@ -106,6 +106,64 @@ def image_features(df: DataFrame, decode: str = "fake",
             .mapInPandas(gen, "media_id long, mean_rgb array<double>, feat array<float>"))
 
 
+AUDIO_RATE = 8000  # fake-decode sample rate (Hz)
+AUDIO_BINS = 16
+
+
+def _fake_decode_audio(payload: bytes, duration_ms: int) -> np.ndarray:
+    """Deterministic pseudo-waveform (int16 PCM) from the payload digest
+    — stands in for an ffmpeg/soundfile decode; same dtype/shape
+    contract as a real mono decode at AUDIO_RATE."""
+    d = hashlib.sha256(payload or b"").digest()
+    rng = np.random.RandomState(np.frombuffer(d[4:8], np.uint32)[0])
+    n = max(int(duration_ms) * AUDIO_RATE // 1000, 2)
+    return rng.randint(-32768, 32768, size=n).astype(np.int16)
+
+
+def audio_features(df: DataFrame, decode: str = "fake") -> DataFrame:
+    """Decode -> feature-extract for audio rows: (media_id, n_samples,
+    rms, zero_cross_rate, energy array<float>[AUDIO_BINS]).  All
+    features are exact integer-sum arithmetic / IEEE sqrt, so any
+    correct implementation (incl. the pure oracle) is bitwise-equal.
+    Arrow-batched like image_features; only the decode kernel is a
+    stub (no audio codecs in this container)."""
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real audio decode needs ffmpeg/soundfile — not in "
+                    "this container; use decode='fake'")
+            n_rows = len(pdf)
+            ns = np.empty(n_rows, np.int64)
+            rms = np.empty(n_rows, np.float64)
+            zcr = np.empty(n_rows, np.float64)
+            energy = np.empty((n_rows, AUDIO_BINS), np.float32)
+            for r, (payload, meta) in enumerate(
+                    zip(pdf["payload"].to_numpy(), pdf["meta"].to_numpy())):
+                x = _fake_decode_audio(payload, int(meta["duration_ms"] or 0))
+                n = len(x)
+                xi = x.astype(np.int64)
+                ns[r] = n
+                rms[r] = float(np.sqrt(int((xi * xi).sum()) / n))
+                zcr[r] = int(((xi[:-1] * xi[1:]) < 0).sum()) / (n - 1)
+                bounds = np.linspace(0, n, AUDIO_BINS + 1).astype(int)
+                sums = np.add.reduceat(np.abs(xi), bounds[:-1])
+                cnt = np.maximum(np.diff(bounds), 1)
+                energy[r] = (sums / cnt).astype(np.float32)
+            yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(),
+                                "n_samples": ns, "rms": rms,
+                                "zero_cross_rate": zcr,
+                                "energy": list(energy)})
+
+    return (df.filter(F.col("kind") == "audio")
+            .select("media_id", "payload", "meta")
+            .mapInPandas(gen, "media_id long, n_samples long, rms double, "
+                              "zero_cross_rate double, energy array<float>"))
+
+
 def frame_sample(df: DataFrame, every_ms: int = 5000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled
     timestamp (decode stubbed; timestamps + schema real)."""

@@ -342,6 +342,25 @@ def model_table_pure(rows: list[tuple[str, str]], min_count: int = 2,
 
 # --- multimodal -------------------------------------------------------------
 
+def audio_features_pure(payload: bytes, duration_ms: int,
+                        ) -> tuple[int, float, float]:
+    """(n_samples, rms, zero_cross_rate) of the fake-decoded waveform —
+    exact integer sums + IEEE sqrt, loop form."""
+    from yalder_spark.operators.multimodal import _fake_decode_audio
+
+    x = [int(v) for v in _fake_decode_audio(payload, duration_ms)]
+    n = len(x)
+    sq = 0
+    zc = 0
+    prev = None
+    for v in x:
+        sq += v * v
+        if prev is not None and prev * v < 0:
+            zc += 1
+        prev = v
+    return n, math.sqrt(sq / n), zc / (n - 1)
+
+
 def image_mean_rgb_pure(payload: bytes, w: int, h: int) -> list[float]:
     """Mean RGB of the fake-decoded image, computed EXACTLY: integer
     channel sums / pixel count (uint8 sums are exact in float64, so any
