@@ -45,15 +45,41 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def _minhash_batch(texts: pd.Series) -> np.ndarray:
-    """[n_docs, N_PERM] uint64 MinHash signatures over char-4-gram
-    shingle sets, fully vectorized (per-perm min via np.minimum.at)."""
+    """[n_docs, N_PERM] MinHash signatures over char-4-gram shingle
+    sets.  Per perm: permuted hashes computed IN-PLACE into one reused
+    buffer (int64 wraparound — the frozen spec; this sandbox punishes
+    large numpy temporaries with mmap page-fault churn, so zero
+    allocations in the loop) and reduced per doc with minimum.reduceat:
+    hashes arrive doc-sorted from batch_ngram_hashes, so doc segments
+    are contiguous — ~10x faster than the previous np.minimum.at."""
     hashes, doc_ids, n_docs = batch_ngram_hashes(texts)
     sig = np.full((n_docs, N_PERM), MERSENNE, dtype=np.int64)
-    if len(hashes):
-        h = hashes.astype(np.int64)
-        for p in range(N_PERM):
-            hp = (_PERM_A[p] * (h & 0x7FFFFFFF) + _PERM_B[p]) % MERSENNE
-            np.minimum.at(sig[:, p], doc_ids, hp)
+    if not len(hashes):
+        return sig
+    h = hashes.astype(np.int64)
+    h &= 0x7FFFFFFF
+    # dedupe shingles per doc first (min over the SET == min over the
+    # multiset): repeated 4-grams are ~40% of windows, and every
+    # surviving row costs 64 permutations
+    keys = np.unique((doc_ids << np.int64(31)) | h)
+    doc_ids = keys >> np.int64(31)
+    h = keys & np.int64(0x7FFFFFFF)
+    starts = np.searchsorted(doc_ids, np.arange(n_docs))
+    nonempty = starts < np.append(starts[1:], len(doc_ids))
+    # reduce over NONEMPTY docs' starts only: they are strictly
+    # increasing and < len (reduceat would misbehave on empty segments:
+    # equal indices return a bogus element, and a trailing empty doc
+    # would index one-past-the-end); an empty doc between two nonempty
+    # ones contributes no rows, so consecutive nonempty starts still
+    # delimit exactly the right segments
+    ne_starts = starts[nonempty]
+    ne_idx = np.nonzero(nonempty)[0]
+    buf = np.empty(len(h), np.int64)
+    for p in range(N_PERM):
+        np.multiply(h, _PERM_A[p], out=buf)
+        buf += _PERM_B[p]
+        buf %= MERSENNE
+        sig[ne_idx, p] = np.minimum.reduceat(buf, ne_starts)
     return sig
 
 
