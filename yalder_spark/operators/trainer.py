@@ -39,38 +39,53 @@ DEFAULT_SALT = 16
 DEFAULT_MIN_COUNT = 2
 DEFAULT_TOP_K = 20000
 
-_EXPLODE_SCHEMA = "lang string, ngram_hash long"
+_EXPLODE_SCHEMA = "lang string, ngram_hash long, cnt_partial long"
 
 
 def explode_ngram_hashes(df: DataFrame, text_col: str = "text",
                          lang_col: str = "lang") -> DataFrame:
-    """H2+H3 as a mapInPandas stage: (lang, text) -> (lang, ngram_hash),
-    one output row per 4-gram occurrence.  Column pruning: only the two
-    needed columns enter the Python worker."""
+    """H2+H3 as a mapInPandas stage: (lang, text) ->
+    (lang, ngram_hash, cnt_partial), PRE-AGGREGATED per Arrow batch
+    (np.unique with counts on a fused lang/hash key) — the in-UDF
+    map-side combine cuts the rows crossing the Arrow boundary and the
+    shuffle by the within-batch repeat factor (~5-20x on same-language
+    batches).  Summing cnt_partial downstream gives exactly the
+    occurrence counts.  Column pruning: only the two needed columns
+    enter the Python worker."""
+    import numpy as np
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             hashes, doc_ids, _ = batch_ngram_hashes(pdf[text_col])
-            yield pd.DataFrame(
-                {"lang": pdf[lang_col].to_numpy()[doc_ids], "ngram_hash": hashes}
-            )
+            langs = pdf[lang_col].to_numpy()
+            codes, lang_id = np.unique(langs, return_inverse=True)
+            # hash is signed 32-bit -> bias to [0, 2^32); lang in high bits
+            key = (lang_id[doc_ids].astype(np.int64) << np.int64(32)) \
+                | (hashes + np.int64(1 << 31))
+            uk, cnt = np.unique(key, return_counts=True)
+            yield pd.DataFrame({
+                "lang": codes[(uk >> np.int64(32)).astype(np.int64)],
+                "ngram_hash": (uk & np.int64(0xFFFFFFFF)) - np.int64(1 << 31),
+                "cnt_partial": cnt,
+            })
 
     return df.select(lang_col, text_col).mapInPandas(gen, _EXPLODE_SCHEMA)
 
 
 def ngram_counts(df: DataFrame, text_col: str = "text", lang_col: str = "lang",
                  n_salt: int = DEFAULT_SALT) -> DataFrame:
-    """T2 — salted two-phase (lang, ngram_hash) frequency count.
-    Returns (lang, ngram_hash, cnt)."""
+    """T2 — salted two-phase (lang, ngram_hash) frequency count over the
+    batch-preaggregated partials.  Returns (lang, ngram_hash, cnt)."""
     exploded = explode_ngram_hashes(df, text_col, lang_col)
     # row-derived salt: spreads hot keys across n_salt partial groups
     salted = exploded.withColumn(
         "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
     )
-    phase1 = salted.groupBy("lang", "ngram_hash", "_salt").count()
+    phase1 = (salted.groupBy("lang", "ngram_hash", "_salt")
+              .agg(F.sum("cnt_partial").alias("cnt_p")))
     return (
         phase1.groupBy("lang", "ngram_hash")
-        .agg(F.sum("count").alias("cnt"))
+        .agg(F.sum("cnt_p").alias("cnt"))
     )
 
 
