@@ -90,31 +90,75 @@ def score_batch(texts, model: LanguageModel, early_exit: bool = False) -> pd.Dat
 def _score_early_exit(hashes, doc_ids, n_docs, model: LanguageModel):
     """H7 — chunked scoring with per-doc freeze once the margin is
     decisive.  Saves model-lookup + gather work on long, easy documents;
-    labels must match the full scan (property-tested)."""
+    labels must match the full scan (property-tested).
+
+    Docs with <= EARLY_MIN_NGRAMS + EARLY_CHUNK windows cannot save a
+    meaningful amount by exiting (the first decision point is at
+    EARLY_MIN_NGRAMS), so they are bulk-scored in ONE score_sums pass —
+    the chunk loop runs only over the long tail, which removes the
+    round-1 regression where early-exit was SLOWER than the full scan
+    on short-doc corpora."""
     scores = np.zeros((model.n_langs, n_docs))
     seen = np.zeros(n_docs, np.int64)
-    undecided = np.ones(n_docs, bool)
     if len(hashes) == 0:
         return scores, seen
-    # within-doc ordinal of each window
-    starts = np.searchsorted(doc_ids, np.arange(n_docs), side="left")
-    ordinal = np.arange(len(doc_ids)) - starts[doc_ids]
-    max_ord = int(ordinal.max())
-    for lo in range(0, max_ord + 1, EARLY_CHUNK):
-        live = undecided[doc_ids] & (ordinal >= lo) & (ordinal < lo + EARLY_CHUNK)
-        if not live.any():
-            if not undecided.any():
-                break
+    n_grams = np.bincount(doc_ids, minlength=n_docs).astype(np.int64)
+    long_doc = n_grams > EARLY_MIN_NGRAMS + EARLY_CHUNK
+    if not long_doc.any():
+        # all-short batch: identical to the full scan, zero overhead
+        return model.score_sums(hashes, doc_ids, n_docs), n_grams
+    short_rows = ~long_doc[doc_ids]
+    if short_rows.any():
+        scores += model.score_sums(hashes[short_rows], doc_ids[short_rows],
+                                   n_docs)
+        seen += np.where(long_doc, 0, n_grams)
+    rows = ~short_rows
+    lh, lids = hashes[rows], doc_ids[rows]
+    undecided = long_doc.copy()
+    # rows REGROUPED by within-doc ordinal so each round's chunk is a
+    # PREFIX of the remaining working set, and the working set is
+    # COMPACTED whenever docs get decided — every row is touched once in
+    # its chunk plus once per compaction, instead of the whole batch
+    # being re-masked every round (which made early-exit slower than the
+    # full scan it is meant to beat)
+    starts = np.searchsorted(lids, np.arange(n_docs), side="left")
+    ordinal = np.arange(len(lids)) - starts[lids]
+    order = np.argsort(ordinal, kind="stable")
+    rem_h, rem_ids, rem_ord = lh[order], lids[order], ordinal[order]
+    lo = 0
+    stale = 0
+    while len(rem_h) and undecided.any():
+        cut = np.searchsorted(rem_ord, lo + EARLY_CHUNK)
+        ids, hs = rem_ids[:cut], rem_h[:cut]
+        rem_h, rem_ids, rem_ord = rem_h[cut:], rem_ids[cut:], rem_ord[cut:]
+        lo += EARLY_CHUNK
+        if not len(ids):
             continue
-        lp = model.lookup(hashes[live])
-        ids = doc_ids[live]
-        for i in range(model.n_langs):
-            scores[i] += np.bincount(ids, weights=lp[i], minlength=n_docs)
+        scores += model.score_sums(hs, ids, n_docs)
         seen += np.bincount(ids, minlength=n_docs)
-        if model.n_langs > 1:
-            part = np.sort(scores, axis=0)
-            margin = (part[-1] - part[-2]) / np.maximum(seen, 1)
-            undecided &= ~((seen >= EARLY_MIN_NGRAMS) & (margin > EARLY_MARGIN))
+        if model.n_langs == 1:
+            continue
+        part = np.sort(scores, axis=0)
+        margin = (part[-1] - part[-2]) / np.maximum(seen, 1)
+        newly = undecided & (seen >= EARLY_MIN_NGRAMS) \
+            & (margin > EARLY_MARGIN)
+        if newly.any():
+            stale = 0
+            undecided &= ~newly
+            keep = undecided[rem_ids]
+            rem_h, rem_ids, rem_ord = \
+                rem_h[keep], rem_ids[keep], rem_ord[keep]
+        elif lo > EARLY_MIN_NGRAMS:
+            stale += 1
+            if stale >= 2:
+                # two decision rounds without a single exit: the
+                # remaining docs aren't separating — bulk-score the rest
+                # in one pass (the per-chunk overhead would otherwise
+                # make early-exit SLOWER than the full scan it's meant
+                # to beat)
+                scores += model.score_sums(rem_h, rem_ids, n_docs)
+                seen += np.bincount(rem_ids, minlength=n_docs)
+                break
     return scores, seen
 
 
