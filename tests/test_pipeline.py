@@ -94,3 +94,39 @@ def test_read_output_ignores_uncommitted_staging(spark, input_path,
     # drop an orphan staging dir; read_output must not see it
     os.makedirs(os.path.join(out, "_staging", "orphan", "bucket=0"), exist_ok=True)
     assert len(_read_sorted(spark, out)) == n
+
+
+def test_curate_corpus_end_to_end(spark, repos_pdf, model_artifact, ppl_model):
+    """The curation chain removes planted exact dups and near-dups,
+    then applies the quality filter — counts consistent, deterministic
+    across runs (doc ids are content-address hashes, not driver-side
+    counters)."""
+    import pandas as pd
+
+    from yalder_spark.pipeline import curate_corpus
+
+    base = repos_input(repos_pdf).head(200).reset_index(drop=True)
+    exact = base.head(10).copy()
+    exact["path"] = "dup/" + exact["path"]  # distinct key, same content
+    near = base.head(10).copy()
+    near["path"] = "near/" + near["path"]
+    near["content"] = near["content"] + "\nextra trailing line"
+    pdf = pd.concat([base, exact, near], ignore_index=True)
+    df = spark.createDataFrame(pdf)
+
+    curated, stats = curate_corpus(df, model_artifact, ppl_model)
+    out = curated.toPandas()
+    assert stats["n_in"] == 220
+    # the fixture has organic template dups too — expected = nunique
+    assert stats["n_after_exact_dedup"] == pdf["content"].nunique()
+    assert stats["n_exact_dups_removed"] >= 10
+    # near-dups: each planted pair loses at least one member
+    paths = set(out["path"])
+    for p in base.head(10)["path"]:
+        assert not ({p, "near/" + p} <= paths), f"near-dup pair {p} survived"
+    assert stats["n_curated"] == len(out)
+    assert (out["keep"]).all()
+
+    curated2, stats2 = curate_corpus(df, model_artifact, ppl_model)
+    assert stats2 == stats
+    assert set(curated2.toPandas()["path"]) == paths

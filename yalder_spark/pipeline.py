@@ -56,6 +56,59 @@ def build_session(app: str = "yalder-pipeline", master: str | None = None,
     return b.getOrCreate()
 
 
+def curate_corpus(df: DataFrame, model: LanguageModel,
+                  ppl_model: LanguageModel,
+                  config: FilterConfig | None = None,
+                  content_col: str = "content",
+                  neardup_threshold: float = 0.85,
+                  ) -> tuple[DataFrame, dict]:
+    """The full training-data curation chain a 100 TB corpus runs before
+    tokenization, composed from this repo's operators::
+
+        exact dedup (sha256 groupBy, keep min doc)
+          -> MinHash+LSH near-dup removal (drop the larger id of every
+             verified pair; the cluster minimum always survives because
+             pairs are emitted with id_a < id_b — one-pass approximation
+             of connected components, standard for near-dup pruning)
+          -> fused quality filter (langid + perplexity + heuristics +
+             PII/tox scrub), keep rows only
+
+    Returns (curated DataFrame, stage-count stats).  Doc identity is
+    ``xxhash64(repo, path, commit)`` — deterministic across runs, no
+    driver-side id assignment.  Every stage is the scale shape audited
+    in SCALE.md (broadcast anti-joins, banded LSH, map-only filter)."""
+    from yalder_spark.operators.dedup import exact_dedup, minhash_dedup
+
+    config = config or FilterConfig()
+    ids = df.withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")).cache()
+    n_in = ids.count()
+
+    keep_exact = (exact_dedup(ids, content_col, "doc_id")
+                  .select(F.col("keep_id").alias("doc_id")))
+    uniq = ids.join(keep_exact, "doc_id", "left_semi").cache()
+    n_uniq = uniq.count()
+
+    pairs = minhash_dedup(uniq, content_col, "doc_id",
+                          threshold=neardup_threshold)
+    drop_near = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = uniq.join(drop_near, "doc_id", "left_anti")
+
+    filtered = quality_filter(survivors, model, ppl_model, config,
+                              key_cols=("repo", "path", "commit", "lang"))
+    curated = filtered.filter(F.col("keep")).cache()
+    n_curated = curated.count()
+    stats = {
+        "n_in": n_in,
+        "n_after_exact_dedup": n_uniq,
+        "n_exact_dups_removed": n_in - n_uniq,
+        "n_curated": n_curated,
+    }
+    ids.unpersist()
+    uniq.unpersist()
+    return curated, stats
+
+
 def run_filter(spark: SparkSession, input_path: str, output_path: str,
                model: LanguageModel | str, ppl_model: LanguageModel | str,
                config: FilterConfig | None = None,
