@@ -432,6 +432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r7_union": R.q_union,
         "r9_rollup": R.q_rollup,
         "r10_pivot": R.q_pivot,
+        "r11_having_scalar": R.q_having_scalar,
+        "r12_cube": R.q_cube,
         # detection dataflow (SURVEY §2.A)
         "h1_normalize": _q_h1_normalize,
         "h2_ngram_count": _q_h2_ngram_count,
@@ -581,6 +583,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_open,
                    round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_filled
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "r11_having_scalar": """
+            SELECT c_nationkey, count(*) AS n_customers
+            FROM customer GROUP BY c_nationkey
+            HAVING count(*) > (
+              SELECT avg(n) FROM (SELECT count(*) AS n FROM customer
+                                  GROUP BY c_nationkey))
+        """,
+        "r12_cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
         """,
         "r7_union": """
             SELECT kind, nationkey, count(*) AS n FROM (

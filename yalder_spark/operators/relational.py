@@ -150,6 +150,34 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_having_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11 — HAVING against a scalar subquery: nations with more
+    customers than the per-nation average.  The scalar is a 1-row
+    aggregate broadcast-cross-joined into the grouped table (no shuffle
+    of the groups; Catalyst plans a BroadcastNestedLoopJoin).  Counts,
+    not sums, so the threshold compare is exact in both dialects."""
+    c = load(spark, sf_dir, "customer")
+    per = c.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
+    avg_n = per.agg(F.avg("n_customers").alias("avg_n"))
+    return (
+        per.crossJoin(F.broadcast(avg_n))
+        .filter(F.col("n_customers") > F.col("avg_n"))
+        .select("c_nationkey", "n_customers")
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 — CUBE grouping sets over returnflag x linestatus (all four
+    grouping combinations in one aggregate pass)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R9 — rollup subtotals (grand total + per-returnflag + leaf)."""
     li = load(spark, sf_dir, "lineitem")
