@@ -129,6 +129,24 @@ def test_frame_sample(spark):
     assert (out["frame_ts_ms"] % 10000 == 0).all()
 
 
+def test_multimodal_audio_features(spark):
+    from yalder_spark.operators.multimodal import audio_features, synth_media
+    from yalder_spark.oracle.pure_ops import audio_features_pure
+
+    media = synth_media(spark, n=30, seed=42)
+    out = audio_features(media, decode="fake").toPandas().set_index("media_id")
+    assert len(out) == 10  # rows 1, 4, 7, ... are audio
+    src = media.filter("kind = 'audio'").select("media_id", "payload",
+                                                "meta").collect()
+    for row in src:
+        n, rms, zcr = audio_features_pure(bytes(row["payload"]),
+                                          row["meta"]["duration_ms"])
+        assert out.loc[row["media_id"], "n_samples"] == n
+        assert out.loc[row["media_id"], "rms"] == rms  # exact int-sum math
+        assert out.loc[row["media_id"], "zero_cross_rate"] == zcr
+        assert len(out.loc[row["media_id"], "energy"]) == 16
+
+
 def test_streaming_windowed_counts(spark):
     from yalder_spark.streaming.events import (
         windowed_counts_batch, windowed_counts_stream)
