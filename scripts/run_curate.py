@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Production entry point: run the full corpus-curation chain
+(exact dedup -> MinHash near-dup removal -> quality filter) and write
+the curated rows.
+
+    python scripts/run_curate.py \
+        --input <parquet> --output <dir> \
+        --model <model_dir> --ppl-model <ppl_dir> \
+        [--neardup-threshold 0.85] [--master local[32]]
+
+Ships the py-files zip itself via ``addPyFile`` (same as run_filter.py)
+so executors can import ``yalder_spark`` regardless of cwd.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from run_filter import build_pyfiles_zip  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--ppl-model", required=True)
+    ap.add_argument("--neardup-threshold", type=float, default=0.85)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from yalder_spark.operators.model import LanguageModel
+    from yalder_spark.pipeline import build_session, curate_corpus
+
+    spark = build_session("yalder-curate", master=args.master,
+                          shuffle_partitions=args.shuffle_partitions)
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
+
+    df = spark.read.parquet(args.input)
+    curated, stats = curate_corpus(
+        df,
+        LanguageModel.load(args.model),
+        LanguageModel.load(args.ppl_model),
+        neardup_threshold=args.neardup_threshold,
+    )
+    curated.write.mode("overwrite").parquet(args.output)
+    stats["output"] = args.output
+    with open(os.path.join(args.output, "_curate_stats.json"), "w") as f:
+        json.dump(stats, f, indent=2, sort_keys=True)
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
