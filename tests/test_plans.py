@@ -100,6 +100,31 @@ def test_sort_limit_is_takeordered(spark):
     assert "TakeOrderedAndProject" in plan, "global top-k must not full-sort"
 
 
+def test_bucketed_tables_join_without_exchange(spark):
+    """write_bucketed_table: two tables bucketed+sorted on the same key
+    must SortMergeJoin with ZERO Exchange (the pay-shuffle-once-at-write
+    pattern for repeated 100 TB joins).  Broadcast is disabled so the
+    bucket-aware SMJ shape is actually exercised."""
+    from yalder_spark.sources.io import write_bucketed_table
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    write_bucketed_table(d.select("doc_id", "text"), "t_docs_b", 4, "doc_id")
+    write_bucketed_table(d.select("doc_id", "lang"), "t_meta_b", 4, "doc_id")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_docs_b").join(spark.table("t_meta_b"), "doc_id")
+        plan = _plan(j)
+        assert _nodes(plan, "SortMergeJoin") == 1, plan[:600]
+        assert _nodes(plan, "Exchange") == 0, \
+            "bucketed join must not shuffle:\n" + plan[:800]
+        assert j.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_meta_b")
+
+
 def test_topk_window_pushes_rank_limit(spark):
     plan = _plan(entrymod.queries()["r3_topk_window"](spark, SF))
     # Spark rewrites rank<=k window filters into per-partition limits

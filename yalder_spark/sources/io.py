@@ -51,6 +51,23 @@ def with_bucket(df: DataFrame, n_buckets: int, repo_col: str = "repo") -> DataFr
     )
 
 
+def write_bucketed_table(df: DataFrame, table: str, n_buckets: int,
+                         key: str) -> None:
+    """S3 at rest: persist as a BUCKETED (and sorted) table so
+    subsequent equi-joins / aggregations on ``key`` are co-located —
+    Spark reads the bucket spec from the catalog and plans a
+    SortMergeJoin with NO Exchange on either side.  This is the 100 TB
+    pattern for repeated joins on the same key (e.g. doc_id between the
+    curated corpus and per-doc feature tables): pay the shuffle once at
+    write time, never again.  Parquet stand-in for an Iceberg
+    bucket-partitioned table (same planning effect)."""
+    (df.write.format("parquet")
+     .bucketBy(n_buckets, key)
+     .sortBy(key)
+     .mode("overwrite")
+     .saveAsTable(table))
+
+
 def read_manifest(out_path: str) -> dict:
     p = os.path.join(out_path, MANIFEST)
     if not os.path.exists(p):
