@@ -772,7 +772,8 @@ def oracle_sql() -> dict[str, str]:
                                     ROWS UNBOUNDED PRECEDING) AS session_id
               FROM x)
             SELECT user_id, session_id,
-                   min(ts) AS session_start, max(ts) AS session_end,
+                   epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) AS session_end_us,
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_id

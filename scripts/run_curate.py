@@ -44,16 +44,23 @@ def main() -> None:
     spark.sparkContext.addPyFile(build_pyfiles_zip())
 
     df = spark.read.parquet(args.input)
+    # count_curated=False: the write below IS the filter pass; n_curated
+    # comes from the written parquet's footer metadata (a free count)
+    # instead of a second full pass over the corpus.
     curated, stats = curate_corpus(
         df,
         LanguageModel.load(args.model),
         LanguageModel.load(args.ppl_model),
         neardup_threshold=args.neardup_threshold,
+        count_curated=False,
     )
     curated.write.mode("overwrite").parquet(args.output)
+    stats["n_curated"] = spark.read.parquet(args.output).count()
     stats["output"] = args.output
-    with open(os.path.join(args.output, "_curate_stats.json"), "w") as f:
-        json.dump(stats, f, indent=2, sort_keys=True)
+    # Hadoop FS write: works for hdfs://, s3a://... outputs too
+    from yalder_spark.sources.io import write_text_any_fs
+    write_text_any_fs(spark, os.path.join(args.output, "_curate_stats.json"),
+                      json.dumps(stats, indent=2, sort_keys=True))
     print(json.dumps(stats))
     spark.stop()
 

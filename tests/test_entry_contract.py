@@ -110,6 +110,23 @@ def test_driver_documents_are_ascii():
                 assert s is None or s.isascii(), f"non-ASCII doc at sf{sf}"
 
 
+def test_no_session_tz_dependent_output_types(spark):
+    """Lint every driver query's OUTPUT schema for dialect-fragile
+    types (VERDICT r2 item 4): a session-local TIMESTAMP (LTZ) column
+    collects different values under different driver session timezones
+    — exactly how s2_sessionize hash-failed in round 2.  TIMESTAMP_NTZ
+    is allowed (tz-independent wall-clock, matches DuckDB TIMESTAMP);
+    LTZ is banned from oracle-paired outputs."""
+    from pyspark.sql.types import TimestampType
+
+    for name, q in entrymod.queries().items():
+        sdf = q(spark, "/root/testdata/sf0.001")
+        for f in sdf.schema.fields:
+            assert not isinstance(f.dataType, TimestampType), (
+                f"{name}.{f.name} is session-tz-local TIMESTAMP — emit "
+                f"epoch micros BIGINT or keep TIMESTAMP_NTZ instead")
+
+
 def test_committed_artifacts_match_fixture_training():
     """artifacts/ (loaded by _models()) must equal the in-process
     oracle-trained models bit-for-bit (the artifacts are just a cache)."""

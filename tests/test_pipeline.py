@@ -125,8 +125,18 @@ def test_curate_corpus_end_to_end(spark, repos_pdf, model_artifact, ppl_model):
     for p in base.head(10)["path"]:
         assert not ({p, "near/" + p} <= paths), f"near-dup pair {p} survived"
     assert stats["n_curated"] == len(out)
+    assert stats["n_near_dups_removed"] >= 10
     assert (out["keep"]).all()
 
     curated2, stats2 = curate_corpus(df, model_artifact, ppl_model)
     assert stats2 == stats
     assert set(curated2.toPandas()["path"]) == paths
+
+    # production mode: stats skip the extra filter pass; counts for the
+    # curated set come from the written output instead (run_curate.py)
+    curated3, stats3 = curate_corpus(df, model_artifact, ppl_model,
+                                     count_curated=False)
+    assert stats3["n_curated"] is None
+    assert {k: v for k, v in stats3.items() if k != "n_curated"} == \
+           {k: v for k, v in stats.items() if k != "n_curated"}
+    assert curated3.count() == len(out)

@@ -167,6 +167,30 @@ def test_streaming_windowed_counts(spark):
     assert (merged["n_b"] == merged["n_s"]).all()
 
 
+def test_sessionize_timezone_independent(spark):
+    """Round-2 driver regression: s2_sessionize collected DIFFERENT
+    values under the driver's session timezone because it cast NTZ ts
+    to session-local TIMESTAMP and emitted raw timestamps.  Pin the
+    fix: identical collected rows under UTC and America/New_York."""
+    from yalder_spark.streaming.events import sessionize_batch
+
+    key = "spark.sql.session.timeZone"
+    before = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "UTC")
+        utc = sessionize_batch(spark, SF, gap_minutes=30).collect()
+        spark.conf.set(key, "America/New_York")
+        nyc = sessionize_batch(spark, SF, gap_minutes=30).collect()
+    finally:
+        spark.conf.set(key, before)
+    assert utc == nyc
+    assert len(utc) > 0
+    # epoch-us BIGINTs, no raw timestamps in the output
+    row = utc[0]
+    assert isinstance(row["session_start_us"], int)
+    assert isinstance(row["session_end_us"], int)
+
+
 def test_stateful_sessionization(spark):
     """applyInPandasWithState custom stateful operator: closed sessions
     match the BATCH sessionization operator (sessionize_batch — the s2

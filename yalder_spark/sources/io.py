@@ -140,6 +140,22 @@ def write_buckets(df: DataFrame, out_path: str, lineage: dict) -> list[int]:
     return commit_buckets(out_path, staging, {**lineage, "run_id": run_id})
 
 
+def write_text_any_fs(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text/JSON sidecar through the Hadoop FileSystem API
+    so it lands next to the data for ANY output URI (local, file://,
+    hdfs://, s3a://...) — a bare ``open()`` only works for local paths
+    (round-2 ADVICE: run_curate.py's stats write broke the non-local
+    contract its parquet write supports)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def read_output(spark: SparkSession, out_path: str) -> DataFrame:
     """Read back only COMMITTED buckets (ignores any staging leftovers)."""
     done = committed_buckets(out_path)

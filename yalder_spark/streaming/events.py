@@ -55,23 +55,32 @@ def sessionize_batch(spark: SparkSession, sf_dir: str,
     a declarative plan — lag diff > gap marks a break, running sum of
     breaks numbers the sessions, then one aggregate per session.  Two
     window passes + one groupBy, all on the same (user_id, ts)
-    partitioning, so Catalyst plans ONE shuffle."""
+    partitioning, so Catalyst plans ONE shuffle.
+
+    Output timestamps are epoch MICROSECONDS as BIGINT, computed on the
+    parquet's TIMESTAMP_NTZ column directly (``timestamp_diff`` against
+    the NTZ epoch) — NO cast through session-local TIMESTAMP, so the
+    values are identical under any ``spark.sql.session.timeZone``
+    (round-2 driver mismatch: the LTZ cast made collected values depend
+    on the driver session's timezone; tz-independence is pinned by
+    tests/test_textstats.py::test_sessionize_timezone_independent)."""
     from pyspark.sql import Window as W
 
+    epoch_ntz = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-          .withColumn("ts", F.col("ts").cast("timestamp")))
-    w = W.partitionBy("user_id").orderBy("ts")
-    gap_s = gap_minutes * 60
+          .withColumn("ts_us",
+                      F.timestamp_diff("MICROSECOND", epoch_ntz, F.col("ts"))))
+    w = W.partitionBy("user_id").orderBy("ts_us")
+    gap_us = gap_minutes * 60 * 1_000_000
     brk = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-        > gap_s, 1).otherwise(0)
+        F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1).otherwise(0)
     sess = (ev.withColumn("session_id",
                           F.sum(brk).over(
                               w.rowsBetween(W.unboundedPreceding, 0))))
     return (
         sess.groupBy("user_id", "session_id")
-        .agg(F.min("ts").alias("session_start"),
-             F.max("ts").alias("session_end"),
+        .agg(F.min("ts_us").alias("session_start_us"),
+             F.max("ts_us").alias("session_end_us"),
              F.count("*").alias("n_events"))
         .orderBy("user_id", "session_id")
     )
