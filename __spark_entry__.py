@@ -476,7 +476,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- DuckDB oracle SQL ------------------------------------------------------
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '[\\W\\d_]+', ' ', 'g'))"
+# Unicode-equivalent of Python's [\W\d_]+ under RE2 (round-2 VERDICT #6:
+# the previous '[\W\d_]+' was ASCII-only in DuckDB/RE2, so the h1/h2
+# oracle pair survived only because driver documents happened to be
+# ASCII).  Python [\W\d_] == "not a letter and not a non-decimal
+# numeral": complement(L ∪ N) plus decimal digits Nd.  Verified by a
+# codepoint sweep (tests/test_entry_contract.py::
+# test_norm_sql_matches_python_on_unicode); the only residual
+# divergences are engine lower() differences on context-sensitive /
+# multi-char case maps (final sigma, U+0130 İ) — not the class.
+_NORM_SQL = ("trim(regexp_replace(lower(text), "
+             "'([^\\p{L}\\p{N}]|\\p{Nd})+', ' ', 'g'))")
 
 # Frozen pure-Python-oracle outputs for the UDF-only queries (model
 # scoring, MinHash/SimHash/winnowing, ANN, multimodal — not

@@ -63,6 +63,32 @@ def _docs_repo_shaped(spark, sf_dir: str, mult: int):
     ).repartition(max(spark.sparkContext.defaultParallelism, 8))
 
 
+_CALIB_EXPECT_SEC = 0.020  # clean-window reference on this host (min-of-5)
+
+
+def _calibration_probe() -> float:
+    """Fixed pure-NumPy kernel (~8 MB working set, CPU+memory-bound) timed
+    min-of-5: a host-contention canary.  A probe time far above
+    _CALIB_EXPECT_SEC means the surrounding query numbers were taken in
+    a noisy window (the round-2 driver run was ~3x clean-window times);
+    the ratio lets a reader normalize instead of guessing."""
+    import numpy as np
+
+    a = np.arange(1_000_000, dtype=np.float64)
+    out = np.empty_like(a)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(20):
+            np.multiply(a, 1.0000003, out=out)
+            s += float(out.sum())
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+    assert s != 0
+    return round(best, 4)
+
+
 def run_bench(spark, sf_dir: str, mult: int, runs: int = 2) -> dict:
     from pyspark.sql import functions as F
 
@@ -78,12 +104,27 @@ def run_bench(spark, sf_dir: str, mult: int, runs: int = 2) -> dict:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     docs.count()
 
-    def bench(fn):
-        times = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            fn()
-            times.append(time.perf_counter() - t0)
+    def timed(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    def bench(fn, max_extra: int = 4):
+        """min-of-N with a noisy-window guard (round-2 driver run hit a
+        contended host: 3x the clean-window numbers).  The min is
+        trusted only once a SECOND attempt lands within 25% of it —
+        one lucky fast run isn't evidence, two concordant ones are;
+        until then keep sampling (bounded extras).  Sustained
+        contention still returns the best observed time, and the
+        calibration probe in the output JSON flags such windows."""
+        times = [timed(fn) for _ in range(runs)]
+        extra = 0
+        while extra < max_extra:
+            s = sorted(times)
+            if len(s) >= 2 and s[1] <= 1.25 * s[0]:
+                break
+            times.append(timed(fn))
+            extra += 1
         return min(times)
 
     queries = {
@@ -113,6 +154,7 @@ def run_bench(spark, sf_dir: str, mult: int, runs: int = 2) -> dict:
         fn()  # warm (JIT, codegen, Python worker reuse)
         results[name] = round(bench(fn), 4)
 
+    calib_after = _calibration_probe()
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
@@ -123,6 +165,12 @@ def run_bench(spark, sf_dir: str, mult: int, runs: int = 2) -> dict:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_files": n_files,
         "files_per_sec": round(n_files / results["filter_pipeline"], 1),
+        # host-contention canary: probe_sec / expected ~ 1.0 on a quiet
+        # host; >> 1 means this window's numbers are inflated by noisy
+        # neighbors, not by the plans (see _calibration_probe)
+        "calibration": {"probe_sec": calib_after,
+                        "expected_sec": _CALIB_EXPECT_SEC,
+                        "noise_ratio": round(calib_after / _CALIB_EXPECT_SEC, 2)},
     }
 
 

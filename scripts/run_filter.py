@@ -14,6 +14,7 @@ import ``yalder_spark`` regardless of cwd.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import zipfile
@@ -61,7 +62,8 @@ def main() -> None:
     n = sum(m["n_in"] for m in report["metrics"])
     keep = sum(m["n_keep"] for m in report["metrics"])
     print(f"run {report['run_id']}: committed={report['committed_buckets']} "
-          f"rows={n} kept={keep}")
+          f"rows={n} kept={keep}", file=sys.stderr)
+    print(json.dumps(report, sort_keys=True, default=str))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,84 @@
+"""End-to-end smoke of the ship-path CLIs (VERDICT r2 item 5): invoke
+``scripts/run_filter.py`` and ``scripts/run_curate.py`` as real
+subprocesses from a NEUTRAL cwd with no PYTHONPATH, so the py-files zip
+they build and ship via ``addPyFile`` is what actually makes
+``yalder_spark`` importable on the Spark workers.  The round-1 stale-zip
+incident showed this path can drift silently; these tests pin it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MODEL = os.path.join(REPO, "artifacts", "langid_model")
+PPL = os.path.join(REPO, "artifacts", "ppl_model")
+
+
+@pytest.fixture(scope="module")
+def cli_input(tmp_path_factory):
+    from yalder_spark.fixtures.gen import gen_repos, repos_input
+
+    path = str(tmp_path_factory.mktemp("cli") / "input.parquet")
+    pdf = repos_input(gen_repos(300, 42))
+    # plant exact dups so the curate chain has something to remove
+    dup = pdf.head(5).copy()
+    dup["path"] = "dup/" + dup["path"]
+    pd.concat([pdf, dup], ignore_index=True).to_parquet(path)
+    return path
+
+
+def _run_cli(script: str, *args: str) -> str:
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", script), *args],
+        cwd=env.get("TMPDIR", "/tmp"), env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"{script} rc={proc.returncode}\nstdout:{proc.stdout[-2000:]}"
+        f"\nstderr:{proc.stderr[-4000:]}")
+    return proc.stdout
+
+
+def test_run_filter_cli(cli_input, tmp_path):
+    out = str(tmp_path / "out")
+    stdout = _run_cli(
+        "run_filter.py", "--input", cli_input, "--output", out,
+        "--model", MODEL, "--ppl-model", PPL,
+        "--buckets", "2", "--master", "local[4]",
+        "--shuffle-partitions", "4")
+    report = json.loads(stdout.strip().splitlines()[-1])
+    assert sorted(report["committed_buckets"]) == [0, 1]
+    for m in report["metrics"]:
+        assert m["n_in"] == m["n_keep"] + m["n_drop"]
+    # run report persisted next to the data
+    # (Hadoop local FS adds a .crc sidecar next to the json — ignore it)
+    runs = [f for f in os.listdir(os.path.join(out, "_runs"))
+            if f.endswith(".json")]
+    assert len(runs) == 1
+    persisted = json.load(open(os.path.join(out, "_runs", runs[0])))
+    assert persisted["run_id"] == report["run_id"]
+
+
+def test_run_curate_cli(cli_input, tmp_path):
+    out = str(tmp_path / "out")
+    stdout = _run_cli(
+        "run_curate.py", "--input", cli_input, "--output", out,
+        "--model", MODEL, "--ppl-model", PPL,
+        "--master", "local[4]", "--shuffle-partitions", "4")
+    stats = json.loads(stdout.strip().splitlines()[-1])
+    assert stats["n_in"] == 305
+    assert stats["n_exact_dups_removed"] >= 5
+    assert stats["n_curated"] is not None and stats["n_curated"] > 0
+    sidecar = json.load(open(os.path.join(out, "_curate_stats.json")))
+    assert sidecar == stats
+    got = pd.read_parquet(out)
+    assert len(got) == stats["n_curated"]
+    assert got["keep"].all()

@@ -94,20 +94,36 @@ def test_every_query_has_unique_semantics():
     assert len(oracle) >= 20
 
 
-def test_driver_documents_are_ascii():
-    """_NORM_SQL's '[\\W\\d_]+' runs under DuckDB/RE2 where \\W is
-    ASCII-only, while Spark-side normalize() uses Python Unicode \\W;
-    the h1/h2 oracles agree ONLY on ASCII text.  Guard the assumption
-    so new driver data trips this test instead of a silent hash drift."""
-    import pyarrow.parquet as pq
+def test_norm_sql_matches_python_on_unicode(ddb):
+    """The h1/h2 oracle pair must survive NON-ASCII driver data
+    (replaces round-2's ASCII-fixture guard): _NORM_SQL's RE2 class
+    '([^\\p{L}\\p{N}]|\\p{Nd})+' equals Python's [\\W\\d_]+ per
+    codepoint, so normalize() and the DuckDB SQL agree on umlauts, CJK,
+    Greek, Cyrillic, Hangul, emoji, and non-decimal numerals.  Known
+    residual: engine lower() differences on context-sensitive case maps
+    (Greek FINAL SIGMA, U+0130 dotted-I) — excluded here, documented at
+    the _NORM_SQL definition."""
+    from yalder_spark.functions.ngram import normalize
 
-    for sf in ("0.001", "0.01", "0.1"):
-        t = pq.read_table(f"/root/testdata/sf{sf}/documents.parquet",
-                          columns=["text"])
-        for chunk in t.column("text").chunks:
-            for v in chunk:
-                s = v.as_py()
-                assert s is None or s.isascii(), f"non-ASCII doc at sf{sf}"
+    docs = [
+        "Grüße aus Köln, Straße 42!",
+        "ÄÖÜ äöü ß — scharfes s",
+        "日本語テキスト123と English mixed",
+        "中文文本・标点，混合 ascii",
+        "Ελληνικα κειμενο χωρις τελικο σιγμα",
+        "Русский текст №5 с цифрами 123",
+        "한국어 텍스트 테스트",
+        "emoji 😀 and ²superscript⁰ and Ⅷ roman",
+        "٠١ arabic-indic digits stripped",
+        "tabs\tand nbsp em-space collapse",
+        "plain ascii control_case 123",
+        "",
+    ]
+    norm_expr = entrymod._NORM_SQL.replace("text", "s", 1)
+    got = ddb.execute(
+        f"SELECT {norm_expr} FROM (SELECT unnest(?) AS s)", [docs]).fetchall()
+    for doc, (duck,) in zip(docs, got):
+        assert duck == normalize(doc), repr(doc)
 
 
 def test_no_session_tz_dependent_output_types(spark):

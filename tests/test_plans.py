@@ -125,6 +125,46 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS t_meta_b")
 
 
+def test_bucketed_path_roundtrip_without_exchange(spark, tmp_path):
+    """Path-based bucketed tables (write_bucketed_path +
+    register_bucketed_path): after dropping every catalog entry — the
+    fresh-CLI-session situation — re-registering the raw paths restores
+    the bucket spec and the join still plans ZERO Exchange.  This is
+    what lets CLI jobs pay the doc_id shuffle once at write time."""
+    from yalder_spark.sources.io import (register_bucketed_path,
+                                         write_bucketed_path)
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p_docs, p_meta = str(tmp_path / "docs_b"), str(tmp_path / "meta_b")
+    write_bucketed_path(d.select("doc_id", "text"), p_docs, "tp_docs", 4, "doc_id")
+    write_bucketed_path(d.select("doc_id", "lang"), p_meta, "tp_meta", 4, "doc_id")
+    # simulate a FRESH session: the catalog forgets both tables (data
+    # survives — external location), then a new job re-attaches them
+    spark.sql("DROP TABLE tp_docs")
+    spark.sql("DROP TABLE tp_meta")
+    # a bare path read has NO bucket spec -> a join would shuffle; the
+    # register call is what restores the zero-Exchange plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bare = (spark.read.parquet(p_docs)
+                .join(spark.read.parquet(p_meta), "doc_id"))
+        assert _nodes(_plan(bare), "Exchange") > 0, \
+            "control: path read without registration must shuffle"
+        docs = register_bucketed_path(spark, "tp_docs2", p_docs, 4, "doc_id")
+        meta = register_bucketed_path(spark, "tp_meta2", p_meta, 4, "doc_id")
+        j = docs.join(meta, "doc_id")
+        plan = _plan(j)
+        assert _nodes(plan, "SortMergeJoin") == 1, plan[:600]
+        assert _nodes(plan, "Exchange") == 0, \
+            "re-registered bucketed join must not shuffle:\n" + plan[:800]
+        assert j.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS tp_docs2")
+        spark.sql("DROP TABLE IF EXISTS tp_meta2")
+
+
 def test_topk_window_pushes_rank_limit(spark):
     plan = _plan(entrymod.queries()["r3_topk_window"](spark, SF))
     # Spark rewrites rank<=k window filters into per-partition limits

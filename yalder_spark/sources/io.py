@@ -68,6 +68,47 @@ def write_bucketed_table(df: DataFrame, table: str, n_buckets: int,
      .saveAsTable(table))
 
 
+def write_bucketed_path(df: DataFrame, path: str, table: str,
+                        n_buckets: int, key: str) -> None:
+    """Path-based variant of ``write_bucketed_table`` (round-2 VERDICT
+    stretch 7): same bucketed+sorted write, but the data lands at an
+    EXPLICIT path (external table) instead of inside the session's
+    spark-warehouse.  A later job — different session, empty catalog —
+    re-attaches the bucket spec with ``register_bucketed_path`` and
+    still gets zero-Exchange joins, which makes the pay-shuffle-once
+    pattern usable from the CLI jobs whose outputs are plain paths."""
+    (df.write.format("parquet")
+     .bucketBy(n_buckets, key)
+     .sortBy(key)
+     .option("path", path)
+     .mode("overwrite")
+     .saveAsTable(table))
+
+
+def register_bucketed_path(spark: SparkSession, table: str, path: str,
+                           n_buckets: int, key: str) -> DataFrame:
+    """Re-register an existing bucketed-parquet path as an EXTERNAL
+    bucketed table in THIS session's catalog.  A bare
+    ``spark.read.parquet(path)`` loses the bucket spec (it lives in the
+    catalog, not the files), so joins would shuffle again; declaring
+    ``CLUSTERED BY ... INTO n BUCKETS ... LOCATION path`` restores it —
+    Spark maps each file to its bucket via the ``_0000N`` suffix that
+    ``bucketBy`` wrote into the file names.  The declared (n_buckets,
+    key) MUST match the writer's, same contract as any external
+    bucketed table (Hive/Iceberg alike)."""
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in schema.fields)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"""
+        CREATE TABLE {table} ({cols})
+        USING parquet
+        CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {n_buckets} BUCKETS
+        LOCATION '{path}'
+    """)
+    return spark.table(table)
+
+
 def read_manifest(out_path: str) -> dict:
     p = os.path.join(out_path, MANIFEST)
     if not os.path.exists(p):
