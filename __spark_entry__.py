@@ -324,6 +324,14 @@ def _q_d2_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_d5_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.dedup import jaccard_selfjoin
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_selfjoin(d, "text", "doc_id",
+                            shingle_len=4, threshold=0.5, max_df=100)
+
+
 def _q_d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.dedup import simhash
 
@@ -457,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_simhash": _q_d3_simhash,
         "d3b_simhash_candidates": _q_d3b_simhash_candidates,
         "d4_fingerprint": _q_d4_fingerprint,
+        "d5_jaccard_selfjoin": _q_d5_jaccard,
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
         "x3_langid_stopword": _q_t_langid_stopword,
@@ -674,6 +683,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256(text) AS text_sha256, min(doc_id) AS keep_id,
                    count(*) AS n_copies
             FROM documents GROUP BY sha256(text)
+        """,
+        "d5_jaccard_selfjoin": """
+            WITH sh0 AS (
+              SELECT doc_id AS id, unnest(list_distinct(
+                       CASE WHEN length(text) >= 4 THEN
+                         list_transform(range(1, length(text) - 2),
+                                        i -> substr(text, i, 4))
+                       ELSE []::VARCHAR[] END)) AS s
+              FROM documents),
+            rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+            sh AS (SELECT id, s FROM sh0 WHERE s IN (SELECT s FROM rare)),
+            sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, n_common,
+                   round(n_common::DOUBLE / (sa.sz + sb.sz - n_common), 6)
+                     AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = inter.id_a
+            JOIN sizes sb ON sb.id = inter.id_b
+            WHERE round(n_common::DOUBLE / (sa.sz + sb.sz - n_common), 6)
+                  >= 0.5
+            ORDER BY id_a, id_b
         """,
         "x1_token_count": r"""
             SELECT doc_id,

@@ -43,6 +43,38 @@ def test_minhash_lsh_finds_planted_neardups(spark, docs_with_dups):
     assert (exact["jaccard"] == 1.0).all()
 
 
+def test_jaccard_selfjoin_exact(spark, docs_with_dups):
+    """d5 — declarative set-similarity join: finds planted exact dups
+    at jaccard 1.0 and near-dups high; values equal a brute-force
+    pure-Python Jaccard over the same df-cut shingle sets."""
+    from yalder_spark.operators.dedup import jaccard_selfjoin
+
+    got = jaccard_selfjoin(docs_with_dups, "text", "doc_id",
+                           shingle_len=4, threshold=0.5, max_df=100).toPandas()
+    found = dict(zip(zip(got["id_a"], got["id_b"]), got["jaccard"]))
+    pdf = docs_with_dups.toPandas()
+
+    # pure-Python oracle with identical spec (distinct 4-gram shingles,
+    # df-cut at 100, jaccard over the CUT sets)
+    sh = {r.doc_id: {r.text[i:i + 4] for i in range(max(len(r.text) - 3, 0))}
+          for r in pdf.itertuples()}
+    from collections import Counter
+    dfreq = Counter(s for v in sh.values() for s in v)
+    sh = {k: {s for s in v if dfreq[s] <= 100} for k, v in sh.items()}
+    ids = sorted(sh)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter:
+                j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+                if j >= 0.5:
+                    expect[(a, b)] = j
+    assert found == pytest.approx(expect)
+    for i in range(10):
+        assert found[(i, 1000 + i)] == 1.0  # planted exact dups
+
+
 def test_simhash_neardup_distance(spark, docs_with_dups):
     from yalder_spark.operators.dedup import simhash, simhash_candidates
 

@@ -172,6 +172,61 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     )
 
 
+def jaccard_selfjoin(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", shingle_len: int = 4,
+                     threshold: float = 0.8, max_df: int = 100) -> DataFrame:
+    """d5 — EXACT character-shingle Jaccard similarity self-join, fully
+    declarative (no UDF): the classic set-similarity-join shape.
+
+    1. per doc: DISTINCT ``shingle_len``-char shingles via JVM
+       higher-order fns (sequence → transform(substring) →
+       array_distinct), exploded to (id, shingle) rows;
+    2. document-frequency cut: shingles occurring in > ``max_df`` docs
+       are dropped BEFORE the join — boilerplate shingles are both
+       useless for similarity and the quadratic-blowup skew risk (same
+       guard idea as LSH max_bucket; PPJoin's prefix filter is the
+       known stronger refinement);
+    3. self-equi-join on shingle (id_a < id_b) counts intersections —
+       the shuffle carries (id, shingle) rows only;
+    4. |A ∪ B| = |A| + |B| − |A ∩ B| from df-cut set sizes; emit pairs
+       with Jaccard ≥ threshold.
+
+    Jaccard here is over the DF-CUT shingle sets (spec'd identically in
+    the DuckDB oracle).  Scale: exact all-pairs similarity is
+    inherently explode-heavy — at 10^12 docs use minhash_dedup (d2) for
+    corpus-wide pruning and this operator as the exact method on
+    bounded subsets (a partition, a candidate cluster)."""
+    n_pos = F.length(text_col) - (shingle_len - 1)
+    shingles = F.when(
+        n_pos >= 1,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.substring(F.col(text_col), i, F.lit(shingle_len)))),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
+    rare = (sh.groupBy("s").agg(F.count("*").alias("df_cnt"))
+            .filter(F.col("df_cnt") <= max_df).select("s"))
+    sh = sh.join(rare, "s", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a").join(sh.alias("b"),
+                           (F.col("a.s") == F.col("b.s"))
+                           & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jaccard", F.round(
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def minhash_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", threshold: float = 0.7) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates -> exact Jaccard
