@@ -167,6 +167,28 @@ def test_streaming_windowed_counts(spark):
     assert (merged["n_b"] == merged["n_s"]).all()
 
 
+def test_repetition_stats_huge_doc(spark):
+    """The round-3 O(L log L) fold must stay exact AND fast on a
+    40k-line document (the previous O(L^2) formulation would do 1.6e9
+    JVM comparisons here — round-2 ADVICE flagged it unbounded)."""
+    import time
+
+    import pandas as pd
+
+    from yalder_spark.operators.textstats import repetition_stats
+
+    lines = [f"unique line {i}" for i in range(30000)] + ["dup"] * 10000
+    doc = "\n".join(lines)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [doc]}))
+    t0 = time.perf_counter()
+    row = repetition_stats(df).collect()[0]
+    dt = time.perf_counter() - t0
+    assert row["n_lines"] == 40000
+    assert row["dup_line_frac"] == round(1 - 30001 / 40000, 6)
+    assert row["max_line_freq_ratio"] == round(10000 / 40000, 6)
+    assert dt < 30, f"40k-line doc took {dt:.1f}s — fold is not O(L log L)"
+
+
 def test_sessionize_timezone_independent(spark):
     """Round-2 driver regression: s2_sessionize collected DIFFERENT
     values under the driver's session timezone because it cast NTZ ts
