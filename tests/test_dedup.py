@@ -75,6 +75,27 @@ def test_jaccard_selfjoin_exact(spark, docs_with_dups):
         assert found[(i, 1000 + i)] == 1.0  # planted exact dups
 
 
+def test_jaccard_selfjoin_df_cut_blocks_degenerate_blowup(spark):
+    """The max_df cut is the quadratic-blowup guard: a corpus where
+    every doc shares the same boilerplate shingles must NOT produce
+    O(n^2) pairs — above-max_df shingles are dropped before the join.
+    Docs whose every shingle is cut become non-comparable (no rows),
+    which is the documented semantics: boilerplate carries no
+    similarity signal (exact_dedup owns identical docs)."""
+    from yalder_spark.operators.dedup import jaccard_selfjoin
+
+    boiler = "MIT license header " * 20
+    rows = [(i, boiler) for i in range(200)]
+    rows += [(1000, boiler + " unique tail alpha beta gamma delta"),
+             (1001, boiler + " unique tail alpha beta gamma delta x")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = jaccard_selfjoin(df, "text", "doc_id", threshold=0.3,
+                           max_df=100).toPandas()
+    # NOT ~200*200/2 boilerplate pairs; only the pair whose distinctive
+    # (sub-max_df) tails overlap survives
+    assert set(zip(out["id_a"], out["id_b"])) == {(1000, 1001)}
+
+
 def test_simhash_neardup_distance(spark, docs_with_dups):
     from yalder_spark.operators.dedup import simhash, simhash_candidates
 
