@@ -34,14 +34,31 @@ def main() -> None:
     ap.add_argument("--neardup-threshold", type=float, default=0.85)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--resumable", action="store_true",
+                    help="write through the committed-bucket sink: a rerun "
+                         "after a crash skips already-committed buckets "
+                         "(dedup stages are deterministic and recomputed)")
+    ap.add_argument("--buckets", type=int, default=16,
+                    help="output buckets for --resumable")
     args = ap.parse_args()
 
     from yalder_spark.operators.model import LanguageModel
-    from yalder_spark.pipeline import build_session, curate_corpus
+    from yalder_spark.pipeline import (build_session, curate_corpus,
+                                       run_curate_resumable)
 
     spark = build_session("yalder-curate", master=args.master,
                           shuffle_partitions=args.shuffle_partitions)
     spark.sparkContext.addPyFile(build_pyfiles_zip())
+
+    if args.resumable:
+        report = run_curate_resumable(
+            spark, args.input, args.output,
+            LanguageModel.load(args.model), LanguageModel.load(args.ppl_model),
+            n_buckets=args.buckets,
+            neardup_threshold=args.neardup_threshold)
+        print(json.dumps(report, sort_keys=True, default=str))
+        spark.stop()
+        return
 
     df = spark.read.parquet(args.input)
     # count_curated=False: the write below IS the filter pass; n_curated

@@ -133,7 +133,7 @@ def test_no_session_tz_dependent_output_types(spark):
     — exactly how s2_sessionize hash-failed in round 2.  TIMESTAMP_NTZ
     is allowed (tz-independent wall-clock, matches DuckDB TIMESTAMP);
     LTZ is banned from oracle-paired outputs."""
-    from pyspark.sql.types import TimestampType
+    from pyspark.sql.types import FloatType, TimestampType
 
     for name, q in entrymod.queries().items():
         sdf = q(spark, "/root/testdata/sf0.001")
@@ -141,6 +141,11 @@ def test_no_session_tz_dependent_output_types(spark):
             assert not isinstance(f.dataType, TimestampType), (
                 f"{name}.{f.name} is session-tz-local TIMESTAMP — emit "
                 f"epoch micros BIGINT or keep TIMESTAMP_NTZ instead")
+            # float32 collects at single precision; its repr never
+            # equals the DuckDB DOUBLE's — cast to double (and round)
+            assert not isinstance(f.dataType, FloatType), (
+                f"{name}.{f.name} is FLOAT — cast to double before "
+                f"rounding or the value-hash mismatches the oracle")
 
 
 def test_committed_artifacts_match_fixture_training():

@@ -96,6 +96,55 @@ def test_read_output_ignores_uncommitted_staging(spark, input_path,
     assert len(_read_sorted(spark, out)) == n
 
 
+def test_run_curate_resumable(spark, repos_pdf, model_artifact, ppl_model,
+                              tmp_path):
+    """Resumable curation job: dedup stages are deterministic, the
+    filter+sink go through the committed-bucket protocol — a second run
+    over a complete output is a no-op, a killed-mid-commit run resumes
+    to byte-identical output, and planted exact dups never reach the
+    sink."""
+    import pandas as pd
+
+    base = repos_input(repos_pdf).head(200).reset_index(drop=True)
+    dup = base.head(15).copy()
+    dup["path"] = "dup/" + dup["path"]  # distinct key, same content
+    inp = str(tmp_path / "in.parquet")
+    spark.createDataFrame(pd.concat([base, dup], ignore_index=True)
+                          ).write.parquet(inp)
+
+    from yalder_spark.pipeline import run_curate_resumable
+
+    out = str(tmp_path / "cur")
+    rep = run_curate_resumable(spark, inp, out, model_artifact, ppl_model,
+                               n_buckets=4)
+    assert sorted(rep["committed_buckets"]) == [0, 1, 2, 3]
+    got = _read_sorted(spark, out)
+    # exactly ONE member of each planted dup pair reaches the sink
+    # (survivor = min doc_id, and doc_id is a content-address hash, so
+    # which member wins is deterministic but arbitrary)
+    paths = set(got["path"])
+    for p in base.head(15)["path"]:
+        assert (p in paths) != ("dup/" + p in paths), f"pair {p}"
+    assert got["content_sha256"].is_unique
+
+    rep2 = run_curate_resumable(spark, inp, out, model_artifact, ppl_model,
+                                n_buckets=4)
+    assert rep2["committed_buckets"] == [], "complete output must be a no-op"
+
+    # kill-mid-commit: drop two buckets' commits, resume, byte-identical
+    reference = got
+    m = yio.read_manifest(out)
+    for k in ("0", "2"):
+        del m["committed"][k]
+    yio._write_manifest(out, m)
+    for b in (0, 2):
+        shutil.rmtree(os.path.join(out, f"bucket={b}"))
+    rep3 = run_curate_resumable(spark, inp, out, model_artifact, ppl_model,
+                                n_buckets=4)
+    assert sorted(rep3["committed_buckets"]) == [0, 2]
+    assert _read_sorted(spark, out).equals(reference)
+
+
 def test_curate_corpus_end_to_end(spark, repos_pdf, model_artifact, ppl_model):
     """The curation chain removes planted exact dups and near-dups,
     then applies the quality filter — counts consistent, deterministic

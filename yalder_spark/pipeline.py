@@ -128,6 +128,49 @@ def run_filter(spark: SparkSession, input_path: str, output_path: str,
                input_format: str = "parquet") -> dict:
     """Run (or resume) the filter job.  Returns the run report dict
     (also persisted as ``<output>/_runs/<run_id>.json``)."""
+    src = yio.read_source(spark, input_path, input_format)
+    return _filter_and_commit(spark, src, input_path, output_path,
+                              model, ppl_model, config, n_buckets)
+
+
+def run_curate_resumable(spark: SparkSession, input_path: str,
+                         output_path: str,
+                         model: LanguageModel | str,
+                         ppl_model: LanguageModel | str,
+                         config: FilterConfig | None = None,
+                         n_buckets: int = DEFAULT_BUCKETS,
+                         neardup_threshold: float = 0.85) -> dict:
+    """Resumable curation job: the dedup stages are GLOBAL and
+    deterministic (content-addressed ids, frozen MinHash permutations),
+    so on resume they are simply recomputed — cheap relative to the
+    filter+write they gate — and the expensive filter stage + sink run
+    through the same committed-bucket protocol as ``run_filter``: a
+    rerun after a mid-write crash skips the already-committed buckets
+    (anti-join on the manifest) and produces byte-identical output."""
+    from yalder_spark.operators.dedup import exact_dedup, minhash_dedup
+
+    df = spark.read.parquet(input_path)
+    ids = df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+    keep_exact = (exact_dedup(ids, "content", "doc_id")
+                  .select(F.col("keep_id").alias("doc_id")).cache())
+    uniq = ids.join(keep_exact, "doc_id", "left_semi")
+    pairs = minhash_dedup(uniq, "content", "doc_id",
+                          threshold=neardup_threshold)
+    drop_near = (pairs.select(F.col("id_b").alias("doc_id"))
+                 .distinct().cache())
+    survivors = uniq.join(drop_near, "doc_id", "left_anti").drop("doc_id")
+    return _filter_and_commit(spark, survivors, input_path, output_path,
+                              model, ppl_model, config, n_buckets)
+
+
+def _filter_and_commit(spark: SparkSession, src: DataFrame,
+                       input_desc: str, output_path: str,
+                       model: LanguageModel | str,
+                       ppl_model: LanguageModel | str,
+                       config: FilterConfig | None,
+                       n_buckets: int) -> dict:
+    """Shared tail of the batch jobs: bucket, skip committed, fused
+    filter, staged atomic write, metrics + lineage report."""
     if isinstance(model, str):
         model = LanguageModel.load(model)
     if isinstance(ppl_model, str):
@@ -135,7 +178,6 @@ def run_filter(spark: SparkSession, input_path: str, output_path: str,
     config = config or FilterConfig()
     run_id = uuid.uuid4().hex[:12]
 
-    src = yio.read_source(spark, input_path, input_format)
     bucketed = yio.with_bucket(src, n_buckets)
     todo = yio.skip_committed(bucketed, spark, output_path)
 
@@ -150,7 +192,7 @@ def run_filter(spark: SparkSession, input_path: str, output_path: str,
 
     lineage = {
         "run_id": run_id,
-        "input": input_path,
+        "input": input_desc,
         "input_files": sorted(src.inputFiles()),
         "model_version": model.meta.get("version", "unversioned"),
         "model_langs": model.langs,
