@@ -56,6 +56,18 @@ def main() -> None:
             LanguageModel.load(args.model), LanguageModel.load(args.ppl_model),
             n_buckets=args.buckets,
             neardup_threshold=args.neardup_threshold)
+        # same stats sidecar contract as the non-resumable path; counts
+        # cover the WHOLE committed output (complete even after resume),
+        # from a column-pruned read of the committed buckets
+        from yalder_spark.sources.io import read_output, write_text_any_fs
+        from pyspark.sql import functions as F
+        stats = dict(report["dedup_stats"])
+        stats["n_curated"] = (read_output(spark, args.output)
+                              .filter(F.col("keep")).count())
+        stats["output"] = args.output
+        write_text_any_fs(
+            spark, os.path.join(args.output, "_curate_stats.json"),
+            json.dumps(stats, indent=2, sort_keys=True))
         print(json.dumps(report, sort_keys=True, default=str))
         spark.stop()
         return

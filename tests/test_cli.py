@@ -67,6 +67,23 @@ def test_run_filter_cli(cli_input, tmp_path):
     assert persisted["run_id"] == report["run_id"]
 
 
+def test_run_curate_cli_resumable(cli_input, tmp_path):
+    out = str(tmp_path / "out")
+    stdout = _run_cli(
+        "run_curate.py", "--input", cli_input, "--output", out,
+        "--model", MODEL, "--ppl-model", PPL,
+        "--master", "local[4]", "--shuffle-partitions", "4",
+        "--resumable", "--buckets", "2")
+    report = json.loads(stdout.strip().splitlines()[-1])
+    assert sorted(report["committed_buckets"]) == [0, 1]
+    assert report["dedup_stats"]["n_in"] == 305
+    assert report["dedup_stats"]["n_exact_dups_removed"] >= 5
+    # the stats sidecar contract holds in resumable mode too
+    sidecar = json.load(open(os.path.join(out, "_curate_stats.json")))
+    assert sidecar["n_in"] == 305
+    assert sidecar["n_curated"] > 0
+
+
 def test_run_curate_cli(cli_input, tmp_path):
     out = str(tmp_path / "out")
     stdout = _run_cli(

@@ -1,0 +1,161 @@
+"""Unit tests for the round-3 curation additions: connected-components
+near-dup clustering (d6), deterministic stratified sampling (d7), and
+the per-lang token histogram (x5)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import SparkSession, functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC")
+         .appName("curation-ops-tests").getOrCreate())
+    yield s
+
+
+# ---------------------------------------------------------------- d6
+
+def _cc(spark, edges):
+    from yalder_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = neardup_clusters(pairs).collect()
+    return {r.doc_id: r.cluster_rep for r in rows}
+
+
+def test_cc_chain_collapses_to_min(spark):
+    # chain 1-2, 2-3, 3-4: the "drop id_b per pair" shortcut would keep
+    # 1 and drop 2,3,4 even though 1~4 may be far apart; CC labels the
+    # whole chain with rep=1.
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cc_multiple_components(spark):
+    got = _cc(spark, [(10, 20), (30, 40), (40, 50), (7, 8)])
+    assert got == {10: 10, 20: 10, 30: 30, 40: 30, 50: 30, 7: 7, 8: 7}
+
+
+def test_cc_long_chain_converges(spark):
+    # 12-node path graph = worst-case diameter for min-label propagation
+    edges = [(i, i + 1) for i in range(12)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    got = _cc(spark, [(2, 1), (1, 2), (2, 3), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------- d7
+
+def test_hex_threshold_values():
+    from yalder_spark.operators.sampling import rate_to_hex_threshold
+
+    assert rate_to_hex_threshold(0.0) == "00000000"
+    assert rate_to_hex_threshold(0.5) == "80000000"
+    assert rate_to_hex_threshold(1.0) == "g"
+    assert rate_to_hex_threshold(0.25) == "40000000"
+    with pytest.raises(ValueError):
+        rate_to_hex_threshold(1.5)
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    from yalder_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.0}
+    a = stratified_sample(docs, rates)
+    ids1 = sorted(r.doc_id for r in a.select("doc_id").collect())
+    # different partitioning -> identical sample (seeded df.sample fails this)
+    ids2 = sorted(r.doc_id for r in
+                  stratified_sample(docs.repartition(13), rates)
+                  .select("doc_id").collect())
+    assert ids1 == ids2 and len(ids1) > 0
+    langs = {r.lang for r in a.select("lang").distinct().collect()}
+    assert "fr" not in langs          # rate 0 drops everything
+    n_de_in = docs.filter(F.col("lang") == "de").count()
+    n_de_out = a.filter(F.col("lang") == "de").count()
+    assert n_de_out == n_de_in        # rate 1.0 keeps everything
+
+
+def test_stratified_sample_matches_python_rule(spark):
+    """The kept set == the pure-Python content-hash rule, row for row."""
+    from yalder_spark.operators.sampling import (rate_to_hex_threshold,
+                                                 stratified_sample)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = {"en": 0.37}
+    got = sorted(r.doc_id for r in
+                 stratified_sample(docs, rates).select("doc_id").collect())
+    thr = rate_to_hex_threshold(0.37)
+    want = sorted(
+        r.doc_id for r in docs.select("doc_id", "lang", "text").collect()
+        if r.lang == "en"
+        and hashlib.sha256(r.text.encode()).hexdigest()[:8] < thr)
+    assert got == want and len(want) > 0
+
+
+def test_stratified_sample_rate_tolerance(spark):
+    from yalder_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    kept = stratified_sample(docs, {"en": 0.5}).count()
+    assert n_en > 0
+    # sha256 prefix is uniform: 0.5 +- generous small-sample slack
+    assert abs(kept / n_en - 0.5) < 0.2
+
+
+def test_stratified_sample_default_rate(spark):
+    from yalder_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = stratified_sample(docs, {}, default_rate=1.0)
+    assert out.count() == docs.count()
+    assert stratified_sample(docs, {}).count() == 0  # default 0.0
+
+
+def test_stratified_sample_broadcasts_dim(spark):
+    from yalder_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (stratified_sample(docs, {"en": 0.5})
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- x5
+
+def test_token_histogram_buckets(spark):
+    from yalder_spark.operators.textstats import token_histogram
+
+    df = spark.createDataFrame(
+        [("en", "a b c"), ("en", "a b c d"), ("en", ""), ("de", "x")],
+        "lang string, text string")
+    rows = {(r.lang, r.bucket): (r.n_docs, r.sum_tokens, r.min_tokens,
+                                 r.max_tokens)
+            for r in token_histogram(df).collect()}
+    # 3 tokens -> bin '11' len 2; 4 -> '100' len 3; 0 -> '0' len 1
+    assert rows[("en", 2)] == (1, 3, 3, 3)
+    assert rows[("en", 3)] == (1, 4, 4, 4)
+    assert rows[("en", 1)] == (1, 0, 0, 0)
+    assert rows[("de", 1)] == (1, 1, 1, 1)
+
+
+def test_token_histogram_counts_match_token_count(spark):
+    from yalder_spark.operators.textstats import token_count, token_histogram
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hist = token_histogram(docs)
+    total = hist.agg(F.sum("n_docs"), F.sum("sum_tokens")).collect()[0]
+    tc = token_count(docs).agg(F.count("*"), F.sum("n_tokens")).collect()[0]
+    assert (total[0], total[1]) == (tc[0], tc[1])

@@ -94,15 +94,39 @@ def test_every_query_has_unique_semantics():
     assert len(oracle) >= 20
 
 
+def test_norm_sql_matches_python_on_driver_data(ddb):
+    """THE load-bearing h1/h2 oracle guard (successor to round-2's
+    ASCII-fixture guard, which this replaces with the property actually
+    needed): normalize() and _NORM_SQL must agree on the ACTUAL driver
+    documents at every SF.  Per-codepoint cross-engine equality is
+    unattainable (engine lower() differences + Unicode-version skew —
+    see the _NORM_SQL comment), so the guard is anchored to the real
+    fixture data: new driver data that drifts into a divergent
+    codepoint trips THIS test instead of a silent driver hash
+    mismatch."""
+    import pyarrow.parquet as pq
+
+    from yalder_spark.functions.ngram import normalize
+
+    norm_expr = entrymod._NORM_SQL
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        texts = pq.read_table(path, columns=["text"]).column("text").to_pylist()
+        got = ddb.execute(
+            f"SELECT {norm_expr} FROM read_parquet('{path}')").fetchall()
+        assert len(got) == len(texts)
+        for t, (duck,) in zip(texts, got):
+            assert duck == normalize(t), f"sf{sf}: {t!r:.80}"
+
+
 def test_norm_sql_matches_python_on_unicode(ddb):
-    """The h1/h2 oracle pair must survive NON-ASCII driver data
-    (replaces round-2's ASCII-fixture guard): _NORM_SQL's RE2 class
-    '([^\\p{L}\\p{N}]|\\p{Nd})+' equals Python's [\\W\\d_]+ per
-    codepoint, so normalize() and the DuckDB SQL agree on umlauts, CJK,
-    Greek, Cyrillic, Hangul, emoji, and non-decimal numerals.  Known
-    residual: engine lower() differences on context-sensitive case maps
-    (Greek FINAL SIGMA, U+0130 dotted-I) — excluded here, documented at
-    the _NORM_SQL definition."""
+    """Unicode breadth check for the h1/h2 oracle pair: _NORM_SQL's RE2
+    class '([^\\p{L}\\p{N}]|\\p{Nd})+' matches Python's [\\W\\d_]+ on
+    umlauts, CJK, Greek, Cyrillic, Hangul, emoji, and non-decimal
+    numerals (11,313/11,317 in the dev-time U+0001..U+2FFF sweep).
+    Known residuals — engine lower() context-sensitive case maps and
+    Unicode-version skew — are documented at _NORM_SQL and guarded
+    against real data by test_norm_sql_matches_python_on_driver_data."""
     from yalder_spark.functions.ngram import normalize
 
     docs = [

@@ -165,6 +165,19 @@ def test_bucketed_path_roundtrip_without_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS tp_meta2")
 
 
+def test_jaccard_selfjoin_reuses_shingle_exchange(spark):
+    """d5: the two self-join sides are identical subtrees — Spark must
+    REUSE the shingle Exchange (one explode+shuffle feeds both sides),
+    and the df-cut is a Window over that same partitioning, not an
+    extra aggregate+semi-join."""
+    df = entrymod.queries()["d5_jaccard_selfjoin"](spark, SF)
+    df.collect()  # AQE inserts ReusedExchange at RUNTIME — need isFinalPlan
+    plan = _plan(df)
+    assert "ReusedExchange" in plan, \
+        "self-join sides must share one shingle Exchange:\n" + plan[:800]
+    assert "Window" in plan
+
+
 def test_topk_window_pushes_rank_limit(spark):
     plan = _plan(entrymod.queries()["r3_topk_window"](spark, SF))
     # Spark rewrites rank<=k window filters into per-partition limits

@@ -196,16 +196,21 @@ def test_sessionize_timezone_independent(spark):
     fix: identical collected rows under UTC and America/New_York."""
     from yalder_spark.streaming.events import sessionize_batch
 
+    from yalder_spark.streaming.events import windowed_counts_batch
+
     key = "spark.sql.session.timeZone"
     before = spark.conf.get(key)
     try:
         spark.conf.set(key, "UTC")
         utc = sessionize_batch(spark, SF, gap_minutes=30).collect()
+        utc_w = windowed_counts_batch(spark, SF).collect()
         spark.conf.set(key, "America/New_York")
         nyc = sessionize_batch(spark, SF, gap_minutes=30).collect()
+        nyc_w = windowed_counts_batch(spark, SF).collect()
     finally:
         spark.conf.set(key, before)
     assert utc == nyc
+    assert utc_w == nyc_w  # s1: NTZ window starts are tz-independent too
     assert len(utc) > 0
     # epoch-us BIGINTs, no raw timestamps in the output
     row = utc[0]

@@ -195,7 +195,18 @@ def jaccard_selfjoin(df: DataFrame, text_col: str = "text",
     the DuckDB oracle).  Scale: exact all-pairs similarity is
     inherently explode-heavy — at 10^12 docs use minhash_dedup (d2) for
     corpus-wide pruning and this operator as the exact method on
-    bounded subsets (a partition, a candidate cluster)."""
+    bounded subsets (a partition, a candidate cluster).
+
+    Plan shape: the df-cut is ONE window count over the shingle
+    partitioning (not a separate aggregate + semi-join), and the two
+    self-join sides are identical subtrees whose shingle Exchange Spark
+    reuses (ReusedExchange, plan-asserted in tests/test_plans.py).  The
+    scan+explode lineage IS recomputed for the ``sizes`` aggregate —
+    deliberate: caching the exploded relation would hold ~|text| bytes
+    per doc in memory; callers iterating on one bounded subset can
+    ``.cache()`` the input df instead."""
+    from pyspark.sql import Window as W
+
     n_pos = F.length(text_col) - (shingle_len - 1)
     shingles = F.when(
         n_pos >= 1,
@@ -203,10 +214,9 @@ def jaccard_selfjoin(df: DataFrame, text_col: str = "text",
             F.sequence(F.lit(1), n_pos),
             lambda i: F.substring(F.col(text_col), i, F.lit(shingle_len)))),
     ).otherwise(F.array().cast("array<string>"))
-    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
-    rare = (sh.groupBy("s").agg(F.count("*").alias("df_cnt"))
-            .filter(F.col("df_cnt") <= max_df).select("s"))
-    sh = sh.join(rare, "s", "left_semi")
+    sh = (df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
+          .withColumn("df_cnt", F.count("*").over(W.partitionBy("s")))
+          .filter(F.col("df_cnt") <= max_df).drop("df_cnt"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a").join(sh.alias("b"),
@@ -362,3 +372,55 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """d6 — connected components over near-dup candidate pairs:
+    (id_a, id_b) edges -> (doc_id, cluster_rep) where cluster_rep is
+    the MIN doc id of the component.  The principled survivor rule for
+    near-dup removal: "drop id_b of every pair" (what `curate_corpus`
+    uses for speed) over-drops on chains a~b, b~c — components make
+    keep-one-per-cluster exact.
+
+    Iterative min-label propagation on the DataFrame API: each round,
+    every node takes min(own label, min neighbor label); stop when a
+    round changes nothing.  Rounds = component DIAMETER, and near-dup
+    components are small/dense (diameter a handful), so this converges
+    in a few shuffles; for adversarial long-chain graphs the
+    alternating large-star/small-star algorithm (Kiveris et al. 2014,
+    "Connected Components in MapReduce") is the O(log n)-round upgrade
+    with the same per-round DataFrame shape.
+
+    Scale notes: state is (id, label) pairs only — never text;
+    `localCheckpoint(eager=True)` truncates the per-iteration lineage
+    (an unbounded iterative plan otherwise re-executes from the scan
+    each round and eventually blows the planner); the convergence probe
+    aggregates a single BIGINT per round.  Edges are expected
+    pre-deduplicated (candidate pairs from d2/d5/e4); labels converge
+    regardless of duplicate edges, they only cost shuffle bytes."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (edges.union(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("lbl", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels.select(F.col("id").alias("dst"),
+                                            F.col("lbl").alias("dst_lbl")),
+                              "dst")
+                   .groupBy("src").agg(F.min("dst_lbl").alias("nbr_lbl")))
+        new_labels = (
+            labels.join(nbr_min.select(F.col("src").alias("id"), "nbr_lbl"),
+                        "id", "left")
+            .select("id", F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                    .alias("lbl"))
+            .localCheckpoint(eager=True))
+        n_changed = (new_labels.alias("n")
+                     .join(labels.alias("o"), "id")
+                     .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("lbl").alias("cluster_rep"))

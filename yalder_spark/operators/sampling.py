@@ -1,0 +1,55 @@
+"""Deterministic stratified sampling for training-data curation.
+
+Seeded `df.sample()` is NOT reproducible across cluster sizes (rows are
+sampled per-partition, so a repartition changes the sample) — useless
+for resumable 100 TB curation runs where the sample must be a pure
+function of the data.  This operator is content-addressed instead: a
+row is kept iff the first 8 hex chars of sha256(text) — a uniform
+64-bit-ish draw derived only from the content — fall below a per-lang
+threshold.  Same rows selected at any parallelism, any partitioning,
+any resume point, and the rule is expressible in ANY engine with
+sha256() (the DuckDB oracle runs the identical rule).
+
+The hex-prefix comparison is STRING comparison: lowercase hex digits
+sort lexicographically in numeric order ('0'-'9' < 'a'-'f'), so
+`substr(hex, 1, 8) < threshold_hex` == `uint32(prefix) < floor(rate *
+2**32)` with zero engine-specific hex->int parsing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """Threshold t such that P[substr(sha256,1,8) < t] == rate (to
+    1/2^32 granularity) for a uniform hash prefix.  rate=1.0 returns
+    'g', which sorts above every hex string — keep-all, exactly."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    if rate == 1.0:
+        return "g"
+    return format(int(rate * (1 << 32)), "08x")
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      text_col: str = "text", lang_col: str = "lang",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-language downsampling: keep each row with
+    probability rates[lang] (languages absent from `rates` get
+    `default_rate`), decided by the content hash alone.
+
+    Plan shape: the rates dim is a handful of rows — broadcast join,
+    then a codegen'd filter; ONE pass over the data, no shuffle of the
+    text.  The sha256 is computed JVM-side (F.sha2).  At 100 TB this is
+    the map-only rebalancing pass a corpus-mixing pipeline runs last
+    (e.g. Pile/ROOTS-style per-source weights)."""
+    spark = SparkSession.getActiveSession()
+    dim = spark.createDataFrame(
+        [(lang, rate_to_hex_threshold(r)) for lang, r in sorted(rates.items())],
+        f"{lang_col} string, thr string")
+    default_thr = rate_to_hex_threshold(default_rate)
+    prefix = F.substring(F.sha2(F.col(text_col), 256), 1, 8)
+    return (df.join(F.broadcast(dim), lang_col, "left")
+            .filter(prefix < F.coalesce(F.col("thr"), F.lit(default_thr)))
+            .drop("thr"))

@@ -197,3 +197,28 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 
     return df.select(id_col, text_col).mapInPandas(
         gen, f"{id_col} long, fingerprint array<long>, fp_digest long")
+
+
+def token_histogram(df: DataFrame, text_col: str = "text",
+                    lang_col: str = "lang") -> DataFrame:
+    """x5 — per-language power-of-2 histogram of whitespace-token
+    counts: the corpus-report primitive a curation run emits per batch
+    (doc-length mix drives tokenizer/packing decisions downstream).
+
+    bucket = bit_length(n_tokens) computed as length(bin(n)) — EXACT
+    integer arithmetic in every engine, deliberately not
+    floor(log2(n)): float log2 at bucket boundaries (exact powers of
+    two) is libm-dependent and can round across engines.  Token rule
+    is identical to token_count (x1).  Plan: one codegen'd projection +
+    one partial-agg shuffle of (lang, bucket) keys only."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ws = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
+        .otherwise(F.size(toks)).cast("long")
+    return (df.select(F.col(lang_col).alias("lang"), ws.alias("n_tokens"))
+            .groupBy("lang", F.length(F.bin(F.col("n_tokens")))
+                     .cast("long").alias("bucket"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("sum_tokens"),
+                 F.min("n_tokens").alias("min_tokens"),
+                 F.max("n_tokens").alias("max_tokens"))
+            .orderBy("lang", "bucket"))

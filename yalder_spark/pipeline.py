@@ -89,9 +89,25 @@ def curate_corpus(df: DataFrame, model: LanguageModel,
     memory is not).  ``count_curated=False`` skips the one remaining
     full filter pass for stats — production callers get n_curated from
     the written output's parquet metadata instead (see run_curate.py)."""
+    config = config or FilterConfig()
+    survivors, stats = _dedup_survivors(df, content_col, neardup_threshold)
+
+    filtered = quality_filter(survivors, model, ppl_model, config,
+                              key_cols=("repo", "path", "commit", "lang"))
+    curated = filtered.filter(F.col("keep"))
+    stats["n_curated"] = curated.count() if count_curated else None
+    return curated, stats
+
+
+def _dedup_survivors(df: DataFrame, content_col: str,
+                     neardup_threshold: float) -> tuple[DataFrame, dict]:
+    """Shared dedup prefix of the curation paths (`curate_corpus` and
+    `run_curate_resumable` MUST agree on doc identity and the survivor
+    rule — one implementation).  Returns (survivors with a ``doc_id``
+    column, id-only stage-count stats).  Only the two small id sets are
+    cached; their counts double as the stats (zero extra text passes)."""
     from yalder_spark.operators.dedup import exact_dedup, minhash_dedup
 
-    config = config or FilterConfig()
     ids = df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
     # content column pruned at the scan: doc_id needs only the key cols
     n_in = ids.select("doc_id").count()
@@ -107,18 +123,13 @@ def curate_corpus(df: DataFrame, model: LanguageModel,
                  .distinct().cache())
     n_near = drop_near.count()
     survivors = uniq.join(drop_near, "doc_id", "left_anti")
-
-    filtered = quality_filter(survivors, model, ppl_model, config,
-                              key_cols=("repo", "path", "commit", "lang"))
-    curated = filtered.filter(F.col("keep"))
     stats = {
         "n_in": n_in,
         "n_after_exact_dedup": n_uniq,
         "n_exact_dups_removed": n_in - n_uniq,
         "n_near_dups_removed": n_near,
-        "n_curated": curated.count() if count_curated else None,
     }
-    return curated, stats
+    return survivors, stats
 
 
 def run_filter(spark: SparkSession, input_path: str, output_path: str,
@@ -139,28 +150,28 @@ def run_curate_resumable(spark: SparkSession, input_path: str,
                          ppl_model: LanguageModel | str,
                          config: FilterConfig | None = None,
                          n_buckets: int = DEFAULT_BUCKETS,
-                         neardup_threshold: float = 0.85) -> dict:
+                         neardup_threshold: float = 0.85,
+                         content_col: str = "content") -> dict:
     """Resumable curation job: the dedup stages are GLOBAL and
     deterministic (content-addressed ids, frozen MinHash permutations),
     so on resume they are simply recomputed — cheap relative to the
     filter+write they gate — and the expensive filter stage + sink run
     through the same committed-bucket protocol as ``run_filter``: a
     rerun after a mid-write crash skips the already-committed buckets
-    (anti-join on the manifest) and produces byte-identical output."""
-    from yalder_spark.operators.dedup import exact_dedup, minhash_dedup
-
+    (anti-join on the manifest) and produces byte-identical output.
+    Shares `_dedup_survivors` with `curate_corpus`, so both paths
+    always apply the identical doc-identity and survivor rule.  The
+    returned report carries the dedup stage counts; per-bucket metrics
+    cover the buckets THIS run committed (same contract as run_filter —
+    a resume reports only what it resumed)."""
     df = spark.read.parquet(input_path)
-    ids = df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
-    keep_exact = (exact_dedup(ids, "content", "doc_id")
-                  .select(F.col("keep_id").alias("doc_id")).cache())
-    uniq = ids.join(keep_exact, "doc_id", "left_semi")
-    pairs = minhash_dedup(uniq, "content", "doc_id",
-                          threshold=neardup_threshold)
-    drop_near = (pairs.select(F.col("id_b").alias("doc_id"))
-                 .distinct().cache())
-    survivors = uniq.join(drop_near, "doc_id", "left_anti").drop("doc_id")
-    return _filter_and_commit(spark, survivors, input_path, output_path,
-                              model, ppl_model, config, n_buckets)
+    survivors, dedup_stats = _dedup_survivors(df, content_col,
+                                              neardup_threshold)
+    report = _filter_and_commit(spark, survivors.drop("doc_id"),
+                                input_path, output_path,
+                                model, ppl_model, config, n_buckets)
+    report["dedup_stats"] = dedup_stats
+    return report
 
 
 def _filter_and_commit(spark: SparkSession, src: DataFrame,
