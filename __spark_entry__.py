@@ -332,6 +332,41 @@ def _q_d5_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                             shingle_len=4, threshold=0.5, max_df=100)
 
 
+def _q_d6_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d6 — connected components over the EXACT Jaccard pairs (d5), so
+    the whole chain is SQL-expressible: the DuckDB oracle re-derives the
+    same edges and closes them with a recursive CTE, while the Spark
+    side runs the iterative min-label propagation that would be used at
+    cluster scale."""
+    from yalder_spark.operators.dedup import jaccard_selfjoin, neardup_clusters
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = jaccard_selfjoin(d, "text", "doc_id",
+                             shingle_len=4, threshold=0.5, max_df=100)
+    return (neardup_clusters(pairs.select("id_a", "id_b"))
+            .orderBy("doc_id"))
+
+
+# per-lang sampling rates for the d7 driver query; default covers fr/es
+_D7_RATES = {"en": 0.5, "de": 0.25, "zh": 1.0}
+_D7_DEFAULT = 0.1
+
+
+def _q_d7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (stratified_sample(d, _D7_RATES, default_rate=_D7_DEFAULT)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def _q_x5_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.textstats import token_histogram
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_histogram(d, "text", "lang")
+
+
 def _q_d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.dedup import simhash
 
@@ -466,6 +501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3b_simhash_candidates": _q_d3b_simhash_candidates,
         "d4_fingerprint": _q_d4_fingerprint,
         "d5_jaccard_selfjoin": _q_d5_jaccard,
+        "d6_neardup_clusters": _q_d6_neardup_clusters,
+        "d7_stratified_sample": _q_d7_stratified_sample,
+        "x5_token_histogram": _q_x5_token_histogram,
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
         "x3_langid_stopword": _q_t_langid_stopword,
@@ -718,6 +756,52 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.5
             ORDER BY id_a, id_b
         """,
+        # d6: the same d5 edge derivation + a recursive-CTE transitive
+        # closure; min reachable id == the component representative the
+        # Spark-side min-label propagation converges to.
+        "d6_neardup_clusters": """
+            WITH RECURSIVE sh0 AS (
+              SELECT doc_id AS id, unnest(list_distinct(
+                       CASE WHEN length(text) >= 4 THEN
+                         list_transform(range(1, length(text) - 2),
+                                        i -> substr(text, i, 4))
+                       ELSE []::VARCHAR[] END)) AS s
+              FROM documents),
+            rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+            sh AS (SELECT id, s FROM sh0 WHERE s IN (SELECT s FROM rare)),
+            sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.id = inter.id_a
+              JOIN sizes sb ON sb.id = inter.id_b
+              WHERE round(n_common::DOUBLE / (sa.sz + sb.sz - n_common), 6)
+                    >= 0.5),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION ALL
+                      SELECT id_b AS src, id_a AS dst FROM pairs),
+            reach(id, l) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.l FROM edges e JOIN reach r ON r.id = e.dst)
+            SELECT id AS doc_id, min(l) AS cluster_rep
+            FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        # d7: the content-hash sampling rule verbatim — hex-prefix
+        # string comparison == uint32(prefix) < floor(rate * 2^32)
+        # (thresholds from rate_to_hex_threshold: 0.5/0.25/1.0/0.1)
+        "d7_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(sha256(text), 1, 8) <
+                  CASE lang WHEN 'en' THEN '80000000'
+                            WHEN 'de' THEN '40000000'
+                            WHEN 'zh' THEN 'g'
+                            ELSE '19999999' END
+            ORDER BY doc_id
+        """,
         "x1_token_count": r"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
@@ -729,6 +813,22 @@ def oracle_sql() -> dict[str, str]:
                                w -> cast(ceil(length(w) / 4.0) AS INT))) END::BIGINT
                      AS n_subwords
             FROM documents
+        """,
+        # x5: bucket = bit_length via length(bin(n)) — exact integer
+        # arithmetic in both engines (float log2 boundaries are not)
+        "x5_token_histogram": r"""
+            WITH t AS (
+              SELECT lang,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END)::BIGINT AS n_tokens
+              FROM documents)
+            SELECT lang, length(bin(n_tokens))::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS sum_tokens,
+                   min(n_tokens) AS min_tokens,
+                   max(n_tokens) AS max_tokens
+            FROM t GROUP BY lang, bucket ORDER BY lang, bucket
         """,
         "x2_quality_score": r"""
             WITH sig AS (
