@@ -367,6 +367,57 @@ def _q_x5_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_histogram(d, "text", "lang")
 
 
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.temporal import ntz_to_us
+
+    return (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_id", "user_id", "event_type",
+                    ntz_to_us("ts").alias("ts_us")))
+
+
+def _q_r13_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — backward as-of join: each click picks the latest view by
+    the same user at or before it (ties: max event_id).  NULL right
+    side (151 unmatched clicks at sf0.01) is coalesced to -1: the
+    driver's pandas round-trip turns nullable BIGINT into float64 NaN,
+    which is exactly the dialect-fragile output class the lint bans."""
+    from yalder_spark.operators.temporal import asof_join
+
+    ev = _events_us(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts_us"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("event_id", "user_id", "ts_us",
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts_us").alias("view_ts_us")))
+    j = asof_join(clicks, views, key_col="user_id", ts_col="ts_us",
+                  seq_col="event_id")
+    return (j.select(F.col("event_id").alias("click_id"), "user_id",
+                     F.col("ts_us").alias("click_ts_us"),
+                     F.coalesce("view_id", F.lit(-1)).alias("view_id"),
+                     F.coalesce("view_ts_us", F.lit(-1)).alias("view_ts_us"))
+            .orderBy("click_id"))
+
+
+def _q_r14_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — range join: every event by the same user within 1 hour
+    AFTER an error event (bucket-expansion equi-join, not a theta
+    nested loop)."""
+    from yalder_spark.operators.temporal import range_join
+
+    ev = _events_us(spark, sf_dir).select("event_id", "user_id", "ts_us")
+    errors = (_events_us(spark, sf_dir)
+              .filter(F.col("event_type") == "error")
+              .select("event_id", "user_id", "ts_us"))
+    j = range_join(errors, ev, key_col="user_id", ts_col="ts_us",
+                   lo_us=0, hi_us=3_600_000_000)
+    return (j.filter(F.col("l_event_id") != F.col("r_event_id"))
+            .select(F.col("l_event_id").alias("error_id"), "user_id",
+                    F.col("r_event_id").alias("other_id"),
+                    (F.col("r_ts_us") - F.col("l_ts_us")).alias("delta_us"))
+            .orderBy("error_id", "other_id"))
+
+
 def _q_d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.dedup import simhash
 
@@ -504,6 +555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_neardup_clusters": _q_d6_neardup_clusters,
         "d7_stratified_sample": _q_d7_stratified_sample,
         "x5_token_histogram": _q_x5_token_histogram,
+        "r13_asof_join": _q_r13_asof_join,
+        "r14_range_join": _q_r14_range_join,
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
         "x3_langid_stopword": _q_t_langid_stopword,
@@ -801,6 +854,42 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 'zh' THEN 'g'
                             ELSE '19999999' END
             ORDER BY doc_id
+        """,
+        # r13: portable window formulation of the backward as-of join
+        # (deliberately not DuckDB's native ASOF JOIN: its tie rule at
+        # equal right ts is unspecified; rn=1 pins ties to max event_id
+        # exactly like the Spark sort order)
+        "r13_asof_join": """
+            WITH ev AS (SELECT event_id, user_id, event_type,
+                               epoch_us(ts) AS ts_us FROM events),
+            c AS (SELECT * FROM ev WHERE event_type = 'click'),
+            v AS (SELECT * FROM ev WHERE event_type = 'view'),
+            j AS (
+              SELECT c.event_id AS click_id, c.user_id,
+                     c.ts_us AS click_ts_us,
+                     v.event_id AS view_id, v.ts_us AS view_ts_us,
+                     row_number() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY v.ts_us DESC, v.event_id DESC) AS rn
+              FROM c LEFT JOIN v
+                ON v.user_id = c.user_id AND v.ts_us <= c.ts_us)
+            SELECT click_id, user_id, click_ts_us,
+                   coalesce(view_id, -1) AS view_id,
+                   coalesce(view_ts_us, -1) AS view_ts_us
+            FROM j WHERE rn = 1 ORDER BY click_id
+        """,
+        "r14_range_join": """
+            WITH ev AS (SELECT event_id, user_id, event_type,
+                               epoch_us(ts) AS ts_us FROM events),
+            e AS (SELECT * FROM ev WHERE event_type = 'error')
+            SELECT e.event_id AS error_id, e.user_id,
+                   f.event_id AS other_id,
+                   f.ts_us - e.ts_us AS delta_us
+            FROM e JOIN ev f ON f.user_id = e.user_id
+              AND f.ts_us >= e.ts_us
+              AND f.ts_us <= e.ts_us + 3600000000
+              AND f.event_id != e.event_id
+            ORDER BY error_id, other_id
         """,
         "x1_token_count": r"""
             SELECT doc_id,

@@ -1,0 +1,163 @@
+"""Unit tests for the temporal join operators (as-of join, range join)
+— the custom operators Spark lacks natively, checked against pandas
+merge_asof / a naive theta join and plan-asserted to stay out of the
+nested-loop trap."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import SparkSession, functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC")
+         .appName("temporal-tests").getOrCreate())
+    yield s
+
+
+def _events(spark, sf=SF):
+    from yalder_spark.operators.temporal import ntz_to_us
+
+    return (spark.read.parquet(f"{sf}/events.parquet")
+            .select("event_id", "user_id", "event_type",
+                    ntz_to_us("ts").alias("ts_us")))
+
+
+# ---------------------------------------------------------- asof_join
+
+def test_asof_matches_pandas_merge_asof(spark):
+    from yalder_spark.operators.temporal import asof_join
+
+    ev = _events(spark)
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts_us")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts_us",
+                F.col("event_id").alias("view_id"))
+    got = (asof_join(clicks, views, "user_id", "ts_us", "event_id")
+           .select("event_id", "view_id").toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+
+    cp = clicks.toPandas().sort_values(["ts_us", "event_id"])
+    vp = (views.select("user_id", "ts_us", "view_id").toPandas()
+          .sort_values(["ts_us", "view_id"]))
+    want = pd.merge_asof(cp, vp, on="ts_us", by="user_id",
+                         direction="backward")
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    # pandas leaves NaN for unmatched; compare as floats
+    assert (got["view_id"].astype(float).fillna(-1)
+            == want["view_id"].astype(float).fillna(-1)).all()
+
+
+def test_asof_tie_at_equal_ts_is_inclusive_and_max_seq(spark):
+    from yalder_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10)], "user_id long, ts_us long, event_id long")
+    right = spark.createDataFrame(
+        [(1, 100, 1, 101), (1, 100, 2, 102), (1, 99, 3, 103)],
+        "user_id long, ts_us long, event_id long, view_id long")
+    row = asof_join(left, right, "user_id", "ts_us", "event_id").collect()[0]
+    assert row.view_id == 102  # ts tie included, max event_id wins
+
+
+def test_asof_unmatched_left_rows_are_null(spark):
+    from yalder_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 50, 10), (2, 50, 11)], "user_id long, ts_us long, event_id long")
+    right = spark.createDataFrame(
+        [(1, 60, 1, 101)], "user_id long, ts_us long, event_id long, view_id long")
+    rows = {r.user_id: r.view_id
+            for r in asof_join(left, right, "user_id", "ts_us",
+                               "event_id").collect()}
+    assert rows == {1: None, 2: None}  # right ts after left; other key absent
+
+
+def test_asof_rejects_column_collision(spark):
+    from yalder_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 50, 10, 1)], "user_id long, ts_us long, event_id long, v long")
+    right = spark.createDataFrame(
+        [(1, 60, 1, 2)], "user_id long, ts_us long, event_id long, v long")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "user_id", "ts_us", "event_id")
+
+
+def test_asof_plan_single_shuffle_no_join(spark):
+    """The whole point: ONE Exchange on the key, zero join operators."""
+    from yalder_spark.operators.temporal import asof_join
+
+    ev = _events(spark)
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts_us")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts_us",
+                F.col("event_id").alias("view_id"))
+    df = asof_join(clicks, views, "user_id", "ts_us", "event_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:800]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+
+
+# --------------------------------------------------------- range_join
+
+def _naive_range(spark, errors, ev, lo, hi):
+    return (errors.alias("e").join(
+        ev.alias("f"),
+        (F.col("e.user_id") == F.col("f.user_id"))
+        & (F.col("f.ts_us") >= F.col("e.ts_us") + lo)
+        & (F.col("f.ts_us") <= F.col("e.ts_us") + hi))
+        .select(F.col("e.event_id").alias("a"),
+                F.col("f.event_id").alias("b")))
+
+
+@pytest.mark.parametrize("lo,hi,bucket", [
+    (0, 3_600_000_000, None),          # default bucket = width
+    (0, 3_600_000_000, 600_000_000),   # finer buckets, more explode
+    (-1_800_000_000, 1_800_000_000, None),  # symmetric window
+    (0, 0, None),                      # degenerate: exact-ts match only
+])
+def test_range_join_matches_naive_theta_join(spark, lo, hi, bucket):
+    from yalder_spark.operators.temporal import range_join
+
+    ev = _events(spark).select("event_id", "user_id", "ts_us")
+    errors = _events(spark).filter(F.col("event_type") == "error") \
+        .select("event_id", "user_id", "ts_us")
+    got = sorted((r.l_event_id, r.r_event_id) for r in
+                 range_join(errors, ev, "user_id", "ts_us", lo, hi,
+                            bucket_us=bucket).collect())
+    want = sorted((r.a, r.b) for r in
+                  _naive_range(spark, errors, ev, lo, hi).collect())
+    assert got == want
+    if lo <= 0 <= hi:
+        assert len(got) > 0  # every error matches at least itself
+
+
+def test_range_join_rejects_empty_range(spark):
+    from yalder_spark.operators.temporal import range_join
+
+    ev = _events(spark).select("event_id", "user_id", "ts_us")
+    with pytest.raises(ValueError, match="empty range"):
+        range_join(ev, ev, "user_id", "ts_us", 10, 5)
+
+
+def test_range_join_plan_is_hash_not_loop(spark):
+    from yalder_spark.operators.temporal import range_join
+
+    ev = _events(spark).select("event_id", "user_id", "ts_us")
+    errors = _events(spark).filter(F.col("event_type") == "error") \
+        .select("event_id", "user_id", "ts_us")
+    df = range_join(errors, ev, "user_id", "ts_us", 0, 3_600_000_000)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # equi-join on (key, bucket): hash or sort-merge, never a loop
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), plan[:800]

@@ -1,0 +1,101 @@
+"""Temporal join operators Spark lacks natively: as-of join and range
+join, built scale-first (the task brief names both as custom operators
+to re-express Spark-side).
+
+Timestamps are epoch-microsecond BIGINTs throughout — computed from
+TIMESTAMP_NTZ with ``timestamp_diff`` and never cast through
+session-local TIMESTAMP, so results are identical under any
+``spark.sql.session.timeZone`` (the frozen rule from the round-2
+sessionize incident; linted in tests/test_entry_contract.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def ntz_to_us(col) -> Column:
+    """TIMESTAMP_NTZ -> epoch microseconds BIGINT, timezone-independent."""
+    epoch = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+    return F.timestamp_diff("MICROSECOND", epoch, F.col(col))
+
+
+def asof_join(left: DataFrame, right: DataFrame, key_col: str,
+              ts_col: str, seq_col: str) -> DataFrame:
+    """Backward as-of join: each left row picks the LATEST right row
+    with ``right.ts <= left.ts`` for the same key (ties on ts broken by
+    max ``seq_col``); unmatched left rows keep NULL right columns —
+    left-outer semantics, like pandas ``merge_asof``.
+
+    NOT implemented as a join: a naive ``right.ts <= left.ts`` theta
+    join is a per-key cross product (O(n_l * n_r) rows shuffled per
+    key, quadratic on hot keys).  Instead the two inputs are UNIONED
+    with a side tag and sorted once per key; right-side payload columns
+    are carried forward with ``last(..., ignorenulls=True)`` over
+    (key) ORDER BY (ts, side, seq) — right rows sort BEFORE left rows
+    at equal ts, which is exactly the <= semantics.  ONE shuffle on the
+    key, linear work, and both inputs stream through a single sort —
+    the same partitioning a downstream per-key aggregate reuses.
+
+    Column contract: ``left`` and ``right`` share exactly
+    (key_col, ts_col, seq_col); every other column name must be
+    disjoint (caller renames).  Right payload columns come back
+    nullable."""
+    shared = {key_col, ts_col, seq_col}
+    payload = [c for c in right.columns if c not in shared]
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {overlap}")
+
+    l_tag = left.withColumn("_side", F.lit(1))
+    for c in payload:
+        l_tag = l_tag.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tag = right.withColumn("_side", F.lit(0))
+    for c in left.columns:
+        if c not in shared:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    u = l_tag.unionByName(r_tag)
+    w = (W.partitionBy(key_col).orderBy(ts_col, "_side", seq_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    for c in payload:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(left: DataFrame, right: DataFrame, key_col: str,
+               ts_col: str, lo_us: int, hi_us: int,
+               bucket_us: int | None = None) -> DataFrame:
+    """Range join: all (left, right) pairs with the same key and
+    ``right.ts in [left.ts + lo_us, left.ts + hi_us]``.
+
+    A raw BETWEEN theta join degenerates to a per-key nested loop
+    (Spark has no native range-join optimization).  The scalable shape
+    is the interval-bucket equi-join: left rows EXPLODE to the
+    time buckets their window covers (ceil((hi-lo)/bucket)+1 buckets,
+    2 at the default bucket = window width), right rows map to their
+    single bucket, equi-join on (key, bucket) — shuffled rows carry one
+    extra BIGINT, the join is hash not loop — then the exact BETWEEN
+    filters in the same stage.  Each pair meets in exactly one bucket
+    (left covers each bucket once, right has one), so no dedup pass.
+
+    Left columns are prefixed ``l_``, right columns ``r_``."""
+    if hi_us < lo_us:
+        raise ValueError(f"empty range: [{lo_us}, {hi_us}]")
+    if bucket_us is None:
+        bucket_us = max(hi_us - lo_us, 1)
+
+    lts, rts = F.col(f"l_{ts_col}"), F.col(f"r_{ts_col}")
+    l = left.select(F.col(key_col),
+                    *[F.col(c).alias(f"l_{c}") for c in left.columns
+                      if c != key_col])
+    r = right.select(F.col(key_col),
+                     *[F.col(c).alias(f"r_{c}") for c in right.columns
+                       if c != key_col])
+    l = l.withColumn("_bucket", F.explode(F.sequence(
+        F.floor((lts + lo_us) / bucket_us),
+        F.floor((lts + hi_us) / bucket_us))))
+    r = r.withColumn("_bucket", F.floor(rts / bucket_us))
+    return (l.join(r, [key_col, "_bucket"])
+            .filter(rts.between(lts + lo_us, lts + hi_us))
+            .drop("_bucket"))
