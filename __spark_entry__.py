@@ -418,6 +418,25 @@ def _q_r14_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("error_id", "other_id"))
 
 
+def _q_s3_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s3 — hypertable-style continuous aggregate: 1 h partials scanned
+    once, 1 d derived by re-aggregating the partials.  value is carried
+    as integer cents (round(value*100) BIGINT) so the re-aggregated
+    sums are EXACT in both engines — float sums fold in different
+    orders across engines/levels."""
+    from yalder_spark.operators.temporal import ntz_to_us, rollup_time
+
+    HOUR, DAY = 3_600_000_000, 86_400_000_000
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_type", ntz_to_us("ts").alias("ts_us"),
+                  F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("value_cents")))
+    return (rollup_time(ev, "ts_us", [HOUR, DAY], ["event_type"],
+                        {"n": F.count("*"),
+                         "cents": F.sum("value_cents")})
+            .orderBy("level_us", "bucket_us", "event_type"))
+
+
 def _q_d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.dedup import simhash
 
@@ -557,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_token_histogram": _q_x5_token_histogram,
         "r13_asof_join": _q_r13_asof_join,
         "r14_range_join": _q_r14_range_join,
+        "s3_time_rollup": _q_s3_time_rollup,
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
         "x3_langid_stopword": _q_t_langid_stopword,
@@ -890,6 +910,27 @@ def oracle_sql() -> dict[str, str]:
               AND f.ts_us <= e.ts_us + 3600000000
               AND f.event_id != e.event_id
             ORDER BY error_id, other_id
+        """,
+        # s3: each level aggregated directly (the oracle need not share
+        # the partial-reaggregation plan, only the results); integer
+        # cents make the sums exact in both engines
+        "s3_time_rollup": """
+            WITH ev AS (
+              SELECT event_type, epoch_us(ts) AS ts_us,
+                     cast(round(value * 100) AS BIGINT) AS c
+              FROM events)
+            SELECT * FROM (
+              SELECT 3600000000::BIGINT AS level_us,
+                     (ts_us // 3600000000) * 3600000000 AS bucket_us,
+                     event_type, count(*)::BIGINT AS n,
+                     sum(c)::BIGINT AS cents
+              FROM ev GROUP BY bucket_us, event_type
+              UNION ALL
+              SELECT 86400000000::BIGINT,
+                     (ts_us // 86400000000) * 86400000000,
+                     event_type, count(*)::BIGINT, sum(c)::BIGINT
+              FROM ev GROUP BY 2, 3)
+            ORDER BY level_us, bucket_us, event_type
         """,
         "x1_token_count": r"""
             SELECT doc_id,

@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--model", required=True)
     ap.add_argument("--ppl-model", required=True)
     ap.add_argument("--neardup-threshold", type=float, default=0.85)
+    ap.add_argument("--survivor-rule", choices=("pairs", "clusters"),
+                    default="pairs",
+                    help="near-dup drop rule: 'pairs' drops id_b of every "
+                         "verified pair (one pass); 'clusters' runs connected "
+                         "components and keeps exactly one doc per cluster")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--resumable", action="store_true",
@@ -55,7 +60,8 @@ def main() -> None:
             spark, args.input, args.output,
             LanguageModel.load(args.model), LanguageModel.load(args.ppl_model),
             n_buckets=args.buckets,
-            neardup_threshold=args.neardup_threshold)
+            neardup_threshold=args.neardup_threshold,
+            survivor_rule=args.survivor_rule)
         # same stats sidecar contract as the non-resumable path; counts
         # cover the WHOLE committed output (complete even after resume),
         # from a column-pruned read of the committed buckets
@@ -82,6 +88,7 @@ def main() -> None:
         LanguageModel.load(args.ppl_model),
         neardup_threshold=args.neardup_threshold,
         count_curated=False,
+        survivor_rule=args.survivor_rule,
     )
     curated.write.mode("overwrite").parquet(args.output)
     stats["n_curated"] = spark.read.parquet(args.output).count()

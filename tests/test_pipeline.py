@@ -189,3 +189,39 @@ def test_curate_corpus_end_to_end(spark, repos_pdf, model_artifact, ppl_model):
     assert {k: v for k, v in stats3.items() if k != "n_curated"} == \
            {k: v for k, v in stats.items() if k != "n_curated"}
     assert curated3.count() == len(out)
+
+
+def test_curate_corpus_cluster_survivor_rule(spark, repos_pdf,
+                                             model_artifact, ppl_model):
+    """survivor_rule='clusters': exactly one doc per near-dup component
+    survives dedup, and cluster survivors are a SUBSET of pair
+    survivors (the component minimum is never the larger side of an
+    edge, so it survives both rules)."""
+    import pandas as pd
+
+    from yalder_spark.pipeline import _dedup_survivors
+
+    base = repos_input(repos_pdf).head(120).reset_index(drop=True)
+    # a CHAIN per planted doc: base ~ near1 ~ near2 (transitive cluster)
+    n1 = base.head(8).copy()
+    n1["path"] = "n1/" + n1["path"]
+    n1["content"] = n1["content"] + "\nextra trailing line"
+    n2 = base.head(8).copy()
+    n2["path"] = "n2/" + n2["path"]
+    n2["content"] = n2["content"] + "\nextra trailing line\nand one more"
+    df = spark.createDataFrame(pd.concat([base, n1, n2], ignore_index=True))
+
+    surv_pairs, st_pairs = _dedup_survivors(df, "content", 0.85, "pairs")
+    surv_clust, st_clust = _dedup_survivors(df, "content", 0.85, "clusters")
+    p_ids = {r.doc_id for r in surv_pairs.select("doc_id").collect()}
+    c_ids = {r.doc_id for r in surv_clust.select("doc_id").collect()}
+    assert c_ids <= p_ids
+    assert st_clust["n_near_dups_removed"] >= st_pairs["n_near_dups_removed"]
+    # each planted triple keeps exactly one member under the cluster rule
+    paths = {r.path for r in surv_clust.select("path").collect()}
+    for p in base.head(8)["path"]:
+        kept = {p, "n1/" + p, "n2/" + p} & paths
+        assert len(kept) == 1, f"cluster {p}: kept {kept}"
+
+    with pytest.raises(ValueError, match="survivor_rule"):
+        _dedup_survivors(df, "content", 0.85, "bogus")

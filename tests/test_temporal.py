@@ -161,3 +161,58 @@ def test_range_join_plan_is_hash_not_loop(spark):
     assert "CartesianProduct" not in plan
     # equi-join on (key, bucket): hash or sort-merge, never a loop
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), plan[:800]
+
+
+# -------------------------------------------------------- rollup_time
+
+def test_rollup_coarse_level_equals_direct_aggregation(spark):
+    from yalder_spark.operators.temporal import ntz_to_us, rollup_time
+
+    HOUR, DAY = 3_600_000_000, 86_400_000_000
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .select("event_type", ntz_to_us("ts").alias("ts_us")))
+    out = rollup_time(ev, "ts_us", [HOUR, DAY], ["event_type"])
+    day = {(r.bucket_us, r.event_type): r.n
+           for r in out.filter(F.col("level_us") == DAY).collect()}
+    direct = {(r.b, r.event_type): r.n for r in
+              ev.groupBy((F.floor(F.col("ts_us") / DAY) * DAY).alias("b"),
+                         "event_type")
+              .agg(F.count("*").alias("n")).collect()}
+    assert day == direct and len(day) > 0
+
+
+def test_rollup_levels_are_consistent(spark):
+    """Every level must total the same number of events."""
+    from yalder_spark.operators.temporal import ntz_to_us, rollup_time
+
+    HOUR, DAY = 3_600_000_000, 86_400_000_000
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .select("event_type", ntz_to_us("ts").alias("ts_us")))
+    out = rollup_time(ev, "ts_us", [HOUR, DAY], ["event_type"])
+    totals = {r.level_us: r.t for r in
+              out.groupBy("level_us").agg(F.sum("n").alias("t")).collect()}
+    assert totals[HOUR] == totals[DAY] == ev.count()
+
+
+def test_rollup_rejects_non_multiple_width(spark):
+    from yalder_spark.operators.temporal import rollup_time
+
+    ev = spark.createDataFrame([(1, "a")], "ts_us long, event_type string")
+    with pytest.raises(ValueError, match="multiple"):
+        rollup_time(ev, "ts_us", [7, 13], ["event_type"])
+
+
+def test_rollup_derives_from_partials_not_rescan(spark):
+    """The coarse level's plan must read the cached finest partials
+    (InMemoryTableScan), not the parquet a second time."""
+    from yalder_spark.operators.temporal import ntz_to_us, rollup_time
+
+    HOUR, DAY = 3_600_000_000, 86_400_000_000
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .select("event_type", ntz_to_us("ts").alias("ts_us")))
+    out = rollup_time(ev, "ts_us", [HOUR, DAY], ["event_type"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both union branches read the cached partials (the FileScan string
+    # appears inside each InMemoryRelation DESCRIPTION, but executes
+    # once, at cache materialization)
+    assert plan.count("InMemoryTableScan") == 2, plan[:1200]

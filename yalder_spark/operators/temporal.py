@@ -99,3 +99,45 @@ def range_join(left: DataFrame, right: DataFrame, key_col: str,
     return (l.join(r, [key_col, "_bucket"])
             .filter(rts.between(lts + lo_us, lts + hi_us))
             .drop("_bucket"))
+
+
+def rollup_time(ev: DataFrame, ts_col: str, widths_us: list[int],
+                keys: list[str], agg_cols: dict[str, Column] | None = None,
+                ) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup (continuous
+    aggregate): one pass computes the FINEST bucket's partials; every
+    coarser level re-aggregates those partials instead of re-scanning
+    the events — the scale move (a 100 TB scan happens once, the 1 h ->
+    1 d -> 30 d cascade works on the tiny aggregate).  Requires each
+    coarser width to be a multiple of the finest.
+
+    Returns the union of all levels with a ``level_us`` column.
+    Aggregates are re-aggregable ones only (count/sum); derived
+    metrics (mean = sum/n) belong downstream, computed at read time.
+    """
+    widths = sorted(widths_us)
+    w0 = widths[0]
+    for w in widths[1:]:
+        if w % w0:
+            raise ValueError(f"width {w} is not a multiple of finest {w0}")
+
+    if agg_cols is None:
+        agg_cols = {"n": F.count("*")}
+    base = (ev.groupBy(
+        (F.floor(F.col(ts_col) / w0) * w0).alias("bucket_us"), *keys)
+        .agg(*[expr.alias(name) for name, expr in agg_cols.items()]))
+    # cache the finest partials: every coarser level derives from them
+    base = base.cache()
+
+    out = base.select(F.lit(w0).cast("long").alias("level_us"),
+                      "bucket_us", *keys,
+                      *agg_cols.keys())
+    for w in widths[1:]:
+        lvl = (base.groupBy(
+            (F.floor(F.col("bucket_us") / w) * w).alias("bucket_us"), *keys)
+            .agg(*[F.sum(name).alias(name) for name in agg_cols])
+            .select(F.lit(w).cast("long").alias("level_us"),
+                    "bucket_us", *keys,
+                    *agg_cols.keys()))
+        out = out.unionByName(lvl)
+    return out

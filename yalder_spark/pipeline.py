@@ -62,15 +62,17 @@ def curate_corpus(df: DataFrame, model: LanguageModel,
                   content_col: str = "content",
                   neardup_threshold: float = 0.85,
                   count_curated: bool = True,
+                  survivor_rule: str = "pairs",
                   ) -> tuple[DataFrame, dict]:
     """The full training-data curation chain a 100 TB corpus runs before
     tokenization, composed from this repo's operators::
 
         exact dedup (sha256 groupBy, keep min doc)
-          -> MinHash+LSH near-dup removal (drop the larger id of every
-             verified pair; the cluster minimum always survives because
-             pairs are emitted with id_a < id_b — one-pass approximation
-             of connected components, standard for near-dup pruning)
+          -> MinHash+LSH near-dup removal (``survivor_rule``: "pairs"
+             drops the larger id of every verified pair — one-pass
+             approximation of connected components; "clusters" runs the
+             real connected components and keeps exactly one doc per
+             cluster — see ``_dedup_survivors``)
           -> fused quality filter (langid + perplexity + heuristics +
              PII/tox scrub), keep rows only
 
@@ -90,7 +92,8 @@ def curate_corpus(df: DataFrame, model: LanguageModel,
     full filter pass for stats — production callers get n_curated from
     the written output's parquet metadata instead (see run_curate.py)."""
     config = config or FilterConfig()
-    survivors, stats = _dedup_survivors(df, content_col, neardup_threshold)
+    survivors, stats = _dedup_survivors(df, content_col, neardup_threshold,
+                                        survivor_rule)
 
     filtered = quality_filter(survivors, model, ppl_model, config,
                               key_cols=("repo", "path", "commit", "lang"))
@@ -100,13 +103,31 @@ def curate_corpus(df: DataFrame, model: LanguageModel,
 
 
 def _dedup_survivors(df: DataFrame, content_col: str,
-                     neardup_threshold: float) -> tuple[DataFrame, dict]:
+                     neardup_threshold: float,
+                     survivor_rule: str = "pairs") -> tuple[DataFrame, dict]:
     """Shared dedup prefix of the curation paths (`curate_corpus` and
     `run_curate_resumable` MUST agree on doc identity and the survivor
     rule — one implementation).  Returns (survivors with a ``doc_id``
     column, id-only stage-count stats).  Only the two small id sets are
-    cached; their counts double as the stats (zero extra text passes)."""
-    from yalder_spark.operators.dedup import exact_dedup, minhash_dedup
+    cached; their counts double as the stats (zero extra text passes).
+
+    ``survivor_rule``: how verified near-dup pairs become drops.
+    "pairs" (default, the frozen spec): drop ``id_b`` of every pair —
+    one pass; keeps every doc that is never the larger side of any
+    pair, which can keep >1 doc per transitive cluster (in a component
+    {1,2,3} with edges (2,3),(1,3) only, both 1 and 2 survive).
+    "clusters": connected components over the pairs
+    (operators/dedup.neardup_clusters), keep exactly the MIN id of
+    every component — the principled exactly-one-per-cluster rule; the
+    extra cost is the iterative label propagation, over the tiny pair
+    graph only.  The component minimum is never the larger side of an
+    edge, so cluster survivors are always a SUBSET of pair survivors
+    (property-tested in tests/test_pipeline.py)."""
+    from yalder_spark.operators.dedup import (exact_dedup, minhash_dedup,
+                                              neardup_clusters)
+
+    if survivor_rule not in ("pairs", "clusters"):
+        raise ValueError(f"unknown survivor_rule: {survivor_rule!r}")
 
     ids = df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
     # content column pruned at the scan: doc_id needs only the key cols
@@ -119,8 +140,13 @@ def _dedup_survivors(df: DataFrame, content_col: str,
 
     pairs = minhash_dedup(uniq, content_col, "doc_id",
                           threshold=neardup_threshold)
-    drop_near = (pairs.select(F.col("id_b").alias("doc_id"))
-                 .distinct().cache())
+    if survivor_rule == "clusters":
+        drop_near = (neardup_clusters(pairs.select("id_a", "id_b"))
+                     .filter(F.col("doc_id") != F.col("cluster_rep"))
+                     .select("doc_id").cache())
+    else:
+        drop_near = (pairs.select(F.col("id_b").alias("doc_id"))
+                     .distinct().cache())
     n_near = drop_near.count()
     survivors = uniq.join(drop_near, "doc_id", "left_anti")
     stats = {
@@ -151,7 +177,8 @@ def run_curate_resumable(spark: SparkSession, input_path: str,
                          config: FilterConfig | None = None,
                          n_buckets: int = DEFAULT_BUCKETS,
                          neardup_threshold: float = 0.85,
-                         content_col: str = "content") -> dict:
+                         content_col: str = "content",
+                         survivor_rule: str = "pairs") -> dict:
     """Resumable curation job: the dedup stages are GLOBAL and
     deterministic (content-addressed ids, frozen MinHash permutations),
     so on resume they are simply recomputed — cheap relative to the
@@ -166,7 +193,8 @@ def run_curate_resumable(spark: SparkSession, input_path: str,
     a resume reports only what it resumed)."""
     df = spark.read.parquet(input_path)
     survivors, dedup_stats = _dedup_survivors(df, content_col,
-                                              neardup_threshold)
+                                              neardup_threshold,
+                                              survivor_rule)
     report = _filter_and_commit(spark, survivors.drop("doc_id"),
                                 input_path, output_path,
                                 model, ppl_model, config, n_buckets)
