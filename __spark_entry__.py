@@ -437,6 +437,13 @@ def _q_s3_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("level_us", "bucket_us", "event_type"))
 
 
+def _q_x6_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.textstats import length_quantiles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_quantiles(d, "n_chars", "lang")
+
+
 def _q_d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.dedup import simhash
 
@@ -577,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r13_asof_join": _q_r13_asof_join,
         "r14_range_join": _q_r14_range_join,
         "s3_time_rollup": _q_s3_time_rollup,
+        "x6_length_quantiles": _q_x6_length_quantiles,
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
         "x3_langid_stopword": _q_t_langid_stopword,
@@ -910,6 +918,17 @@ def oracle_sql() -> dict[str, str]:
               AND f.ts_us <= e.ts_us + 3600000000
               AND f.event_id != e.event_id
             ORDER BY error_id, other_id
+        """,
+        # x6: percentile() (Spark, exact linear interpolation) ==
+        # quantile_cont (DuckDB) — probed exact-equal on this data;
+        # round(6) in both dialects per the frozen double-agg rule
+        "x6_length_quantiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         # s3: each level aggregated directly (the oracle need not share
         # the partial-reaggregation plan, only the results); integer

@@ -159,3 +159,21 @@ def test_token_histogram_counts_match_token_count(spark):
     total = hist.agg(F.sum("n_docs"), F.sum("sum_tokens")).collect()[0]
     tc = token_count(docs).agg(F.count("*"), F.sum("n_tokens")).collect()[0]
     assert (total[0], total[1]) == (tc[0], tc[1])
+
+
+# ---------------------------------------------------------------- x6
+
+def test_length_quantiles_match_numpy(spark):
+    import numpy as np
+
+    from yalder_spark.operators.textstats import length_quantiles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {r.lang: (r.p25, r.p50, r.p90, r.p99)
+           for r in length_quantiles(docs, "n_chars", "lang").collect()}
+    pdf = docs.select("lang", "n_chars").toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        want = np.percentile(grp["n_chars"], [25, 50, 90, 99],
+                             method="linear")
+        assert got[lang] == tuple(round(float(x), 6) for x in want), lang
+    assert len(got) >= 2

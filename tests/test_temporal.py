@@ -216,3 +216,71 @@ def test_rollup_derives_from_partials_not_rescan(spark):
     # appears inside each InMemoryRelation DESCRIPTION, but executes
     # once, at cache materialization)
     assert plan.count("InMemoryTableScan") == 2, plan[:1200]
+
+
+# ------------------------------------------------- randomized parity
+
+def _pure_asof(left_rows, right_rows):
+    """Reference: for each left row the max-(ts, seq) right row with
+    right.ts <= left.ts on the same key."""
+    out = {}
+    for (lk, lt, ls) in left_rows:
+        best = None
+        for (rk, rt, rs) in right_rows:
+            if rk == lk and rt <= lt:
+                if best is None or (rt, rs) > best:
+                    best = (rt, rs)
+        out[(lk, lt, ls)] = best
+    return out
+
+
+def test_asof_random_small_inputs_match_pure(spark):
+    """Seeded random micro-datasets with DENSE ts collisions (ts drawn
+    from 0..6) — the tie paths get exercised far harder than by real
+    event data."""
+    import random
+
+    from yalder_spark.operators.temporal import asof_join
+
+    rng = random.Random(7)
+    for trial in range(8):
+        nl, nr = rng.randint(1, 12), rng.randint(0, 12)
+        seq = iter(range(1000))
+        lrows = [(rng.randint(1, 3), rng.randint(0, 6), next(seq))
+                 for _ in range(nl)]
+        rrows = [(rng.randint(1, 3), rng.randint(0, 6), next(seq))
+                 for _ in range(nr)]
+        left = spark.createDataFrame(
+            lrows, "user_id long, ts_us long, event_id long")
+        right = spark.createDataFrame(
+            [(k, t, s, s) for k, t, s in rrows],
+            "user_id long, ts_us long, event_id long, rid long")
+        got = {(r.user_id, r.ts_us, r.event_id): r.rid
+               for r in asof_join(left, right, "user_id", "ts_us",
+                                  "event_id").collect()}
+        want = {k: (None if v is None else v[1])
+                for k, v in _pure_asof(lrows, rrows).items()}
+        assert got == want, f"trial {trial}: {lrows} {rrows}"
+
+
+def test_range_join_random_small_inputs_match_naive(spark):
+    import random
+
+    from yalder_spark.operators.temporal import range_join
+
+    rng = random.Random(11)
+    for trial in range(6):
+        n = rng.randint(1, 15)
+        rows = [(rng.randint(1, 3), rng.randint(0, 40), i)
+                for i in range(n)]
+        lo = rng.randint(-10, 5)
+        hi = lo + rng.randint(0, 15)
+        bucket = rng.choice([None, 1, 3, 7])
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_us long, event_id long")
+        got = sorted((r.l_event_id, r.r_event_id) for r in
+                     range_join(df, df, "user_id", "ts_us", lo, hi,
+                                bucket_us=bucket).collect())
+        want = sorted((a[2], b[2]) for a in rows for b in rows
+                      if a[0] == b[0] and a[1] + lo <= b[1] <= a[1] + hi)
+        assert got == want, f"trial {trial}: lo={lo} hi={hi} bucket={bucket}"

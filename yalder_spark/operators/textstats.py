@@ -222,3 +222,27 @@ def token_histogram(df: DataFrame, text_col: str = "text",
                  F.min("n_tokens").alias("min_tokens"),
                  F.max("n_tokens").alias("max_tokens"))
             .orderBy("lang", "bucket"))
+
+
+def length_quantiles(df: DataFrame, value_col: str = "n_chars",
+                     lang_col: str = "lang",
+                     qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+                     ) -> DataFrame:
+    """x6 — exact per-language quantiles of a numeric column (linear
+    interpolation, the ANSI percentile_cont rule).
+
+    Scale note: EXACT percentiles materialize each group's sorted
+    values — fine for per-batch corpus reports (groups ~ languages,
+    values fit an executor), and it is the oracle-able correctness
+    anchor.  For corpus-wide quantiles over 10^12 rows swap
+    ``F.percentile`` for ``F.approx_percentile`` (t-digest sketch,
+    mergeable partials, same output shape) and keep this as the
+    verification path on samples."""
+    pcts = F.expr(f"percentile({value_col}, array({', '.join(map(str, qs))}))")
+    cols = [F.round(F.element_at(F.col("_q"), i + 1), 6)
+            .alias(f"p{int(q * 100)}")
+            for i, q in enumerate(qs)]
+    return (df.groupBy(F.col(lang_col).alias("lang"))
+            .agg(pcts.alias("_q"))
+            .select("lang", *cols)
+            .orderBy("lang"))
