@@ -444,6 +444,19 @@ def _q_x6_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_quantiles(d, "n_chars", "lang")
 
 
+def _q_x7_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x7 — concat-then-chunk sequence packing (budget 256 tokens) over
+    the x1 token counts; distributed two-phase prefix sum, never a
+    single-partition global window."""
+    from yalder_spark.operators.packing import pack_sequences
+    from yalder_spark.operators.textstats import token_count
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = token_count(d, "text", "doc_id").select("doc_id", "n_tokens")
+    return (pack_sequences(toks, budget=256)
+            .orderBy("doc_id"))
+
+
 def _q_d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.dedup import simhash
 
@@ -585,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r14_range_join": _q_r14_range_join,
         "s3_time_rollup": _q_s3_time_rollup,
         "x6_length_quantiles": _q_x6_length_quantiles,
+        "x7_pack_sequences": _q_x7_pack_sequences,
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
         "x3_langid_stopword": _q_t_langid_stopword,
@@ -929,6 +943,27 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.9), 6) AS p90,
                    round(quantile_cont(n_chars, 0.99), 6) AS p99
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # x7: the oracle may use the single-partition window the Spark
+        # side deliberately avoids — it only has to match the RESULT
+        "x7_pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END)::BIGINT AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS prev
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   prev // 256 AS bin_id,
+                   prev % 256 AS bin_offset
+            FROM s ORDER BY doc_id
         """,
         # s3: each level aggregated directly (the oracle need not share
         # the partial-reaggregation plan, only the results); integer

@@ -177,3 +177,63 @@ def test_length_quantiles_match_numpy(spark):
                              method="linear")
         assert got[lang] == tuple(round(float(x), 6) for x in want), lang
     assert len(got) >= 2
+
+
+# ---------------------------------------------------------------- x7
+
+def _naive_pack(rows, budget):
+    """Reference: concat-then-chunk over rows sorted by key."""
+    out, off = {}, 0
+    for k, t in sorted(rows):
+        out[k] = (t, off // budget, off % budget)
+        off += t
+    return out
+
+
+def test_pack_sequences_matches_naive(spark):
+    import random
+
+    from yalder_spark.operators.packing import pack_sequences
+
+    rng = random.Random(3)
+    rows = [(i * 7 + rng.randint(0, 3), rng.randint(0, 40))
+            for i in range(200)]
+    rows = list({k: t for k, t in rows}.items())  # unique keys
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset)
+           for r in pack_sequences(df, budget=64, n_chunks=7).collect()}
+    assert got == _naive_pack(rows, 64)
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from yalder_spark.operators.packing import pack_sequences
+    from yalder_spark.operators.textstats import token_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = token_count(docs, "text", "doc_id").select("doc_id", "n_tokens")
+    a = sorted(map(tuple, pack_sequences(toks, 256).collect()))
+    b = sorted(map(tuple, pack_sequences(toks.repartition(17), 256,
+                                         n_chunks=3).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_pack_sequences_long_doc_spans_bins(spark):
+    from yalder_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 300), (3, 5)], "doc_id long, n_tokens long")
+    got = {r.doc_id: (r.bin_id, r.bin_offset)
+           for r in pack_sequences(df, budget=64).collect()}
+    # doc 2 starts in bin 0 at offset 10, spills into bins 1-4;
+    # doc 3 starts at global offset 310 -> bin 4, offset 310-256=54
+    assert got == {1: (0, 0), 2: (0, 10), 3: (4, 54)}
+
+
+def test_pack_sequences_validates_and_handles_empty(spark):
+    from yalder_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_sequences(df, 64).count() == 0
+    df2 = spark.createDataFrame([(1, 2)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df2, 0)

@@ -182,3 +182,38 @@ def test_topk_window_pushes_rank_limit(spark):
     plan = _plan(entrymod.queries()["r3_topk_window"](spark, SF))
     # Spark rewrites rank<=k window filters into per-partition limits
     assert "WindowGroupLimit" in plan or "rk" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime filtering (Spark's runtime.bloomFilter): a selective
+    filter on the build side of a shuffle join injects a bloom-filter
+    `might_contain` predicate into the PROBE side's scan — at 100 TB
+    this is the difference between shuffling the full fact table and
+    shuffling the ~matching fraction.  Thresholds are size-gated in
+    prod; here they're forced so the capability itself is pinned."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = (spark.read.parquet(f"{SF}/orders.parquet")
+             .filter(F.col("o_totalprice") > 400000))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:900]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

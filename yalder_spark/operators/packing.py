@@ -1,0 +1,84 @@
+"""Sequence packing for LLM training pipelines: assign documents to
+fixed-token-budget training sequences by the concat-then-chunk rule
+(documents concatenated in a global deterministic order, chunk
+boundaries every ``budget`` tokens; a document belongs to the chunk its
+FIRST token lands in).
+
+The rule is a pure function of (order key, token counts) — same bins at
+any parallelism or partitioning — and needs a GLOBAL prefix sum.  A
+naive window ``sum() OVER (ORDER BY id)`` collapses to ONE partition
+(Spark plans an un-keyed ordered window as a single task — the classic
+scale trap).  This operator runs the textbook distributed prefix sum
+instead:
+
+1. split the key space into contiguous chunks by ARITHMETIC on the key
+   (deterministic — repartitionByRange's sampled boundaries are not
+   stable across the two passes this needs);
+2. pass 1: per-chunk token subtotals via a plain groupBy (tiny result:
+   one row per chunk) collected to the driver;
+3. driver: exclusive cumsum of the subtotals = each chunk's base
+   offset (a few thousand longs at any scale);
+4. pass 2: groupBy(chunk).applyInPandas — sort the chunk by key,
+   within-chunk cumsum + broadcast base -> global offset, bin id,
+   offset-in-bin.
+
+Scale notes: both passes shuffle only (key, n_tokens) pairs.  Even
+arithmetic chunks can skew if keys cluster; at 10^12 docs compute
+split points from an approx-quantile pass instead (same two-phase
+shape).  Chunk count bounds driver state (one long per chunk).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_CHUNKS = 256
+
+
+def pack_sequences(df: DataFrame, budget: int, order_col: str = "doc_id",
+                   tokens_col: str = "n_tokens",
+                   n_chunks: int = DEFAULT_CHUNKS) -> DataFrame:
+    """-> (order_col, tokens_col, bin_id, bin_offset): bin_id is the
+    training sequence the document STARTS in (start_offset // budget),
+    bin_offset its position inside that sequence (start_offset %
+    budget).  Documents longer than ``budget`` span bins — the
+    downstream chunker splits them; this operator only fixes the global
+    layout.  Output is identical at any input partitioning (asserted in
+    tests): it depends only on the global key order and token counts."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{order_col} long, {tokens_col} long, "
+                "bin_id long, bin_offset long")
+    width = max(1, (int(hi) - int(lo)) // n_chunks + 1)
+    chunk = ((F.col(order_col) - F.lit(int(lo))) / width).cast("long")
+    src = df.select(F.col(order_col), F.col(tokens_col),
+                    chunk.alias("_chunk"))
+
+    # pass 1: tiny per-chunk subtotal aggregate (plain SQL, map-side
+    # combined), collected to the driver
+    parts = (src.groupBy("_chunk").agg(F.sum(tokens_col).alias("t"))
+             .toPandas().sort_values("_chunk"))
+    bases = {int(c): int(b) for c, b in zip(
+        parts["_chunk"], parts["t"].cumsum().shift(fill_value=0))}
+
+    # pass 2: one applyInPandas group per chunk — sort by key, local
+    # cumsum, add the chunk's base
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        start = (bases[int(pdf["_chunk"].iloc[0])]
+                 + pdf[tokens_col].cumsum() - pdf[tokens_col])
+        return pd.DataFrame({
+            order_col: pdf[order_col],
+            tokens_col: pdf[tokens_col],
+            "bin_id": start // budget,
+            "bin_offset": start % budget,
+        })
+
+    return src.groupBy("_chunk").applyInPandas(
+        assign,
+        f"{order_col} long, {tokens_col} long, bin_id long, bin_offset long")
