@@ -1,0 +1,92 @@
+"""Streaming exact dedup == batch exact_dedup on the same input
+(single-microbatch run reproduces the min-key survivor rule), and
+later-arriving duplicate batches are dropped by state."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import SparkSession, functions as F
+
+from yalder_spark.fixtures.gen import gen_repos, repos_input
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC")
+         .appName("streaming-dedup-tests").getOrCreate())
+    yield s
+
+
+def _input_with_dups(n=120, n_dup=12):
+    base = repos_input(gen_repos(n, 42)).head(n).reset_index(drop=True)
+    dup = base.head(n_dup).copy()
+    dup["path"] = "dup/" + dup["path"]  # different key, same content
+    return pd.concat([base, dup], ignore_index=True)
+
+
+def test_stream_dedup_matches_batch_rule(spark, tmp_path):
+    from yalder_spark.operators.dedup import exact_dedup
+    from yalder_spark.streaming.dedup_stream import dedup_stream
+
+    pdf = _input_with_dups()
+    inp = str(tmp_path / "shard0")
+    df = spark.createDataFrame(pdf)
+    df.coalesce(1).write.parquet(inp)
+    schema = spark.read.parquet(inp).schema
+
+    q = dedup_stream(spark, f"{inp}/*.parquet", schema=schema)
+    try:
+        q.processAllAvailable()
+        got = spark.table("deduped").toPandas()
+    finally:
+        q.stop()
+
+    # batch rule: keep the min (repo, path, commit) per distinct content
+    ids = df.withColumn(
+        "doc_id",
+        F.xxhash64(F.concat_ws("\x00", "repo", "path", "commit")))
+    batch = (df.withColumn("sha", F.sha2("content", 256))
+             .groupBy("sha")
+             .agg(F.min(F.struct("repo", "path", "commit")).alias("k"))
+             .select("sha", "k.repo", "k.path", "k.commit").toPandas())
+    want = set(map(tuple, batch[["sha", "repo", "path"]].values))
+    assert set(map(tuple, got[["content_sha256", "repo", "path"]].values)) \
+        == want
+    assert len(got) == pdf["content"].nunique()
+    assert len(got) < len(pdf)  # the planted dups were dropped
+    assert got["content_sha256"].is_unique
+    # exact_dedup agrees on the number of survivors
+    ed = exact_dedup(ids, "content", "doc_id")
+    assert ed.count() == len(got)
+
+
+def test_stream_dedup_drops_late_duplicate_batch(spark, tmp_path):
+    """State persists across microbatches: a second file that replays
+    the same content adds ZERO new rows."""
+    from yalder_spark.streaming.dedup_stream import dedup_stream
+
+    pdf = _input_with_dups(60, 6)
+    d = str(tmp_path / "arriving")
+    os.makedirs(d)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(d, "b1"))
+    schema = spark.read.parquet(os.path.join(d, "b1")).schema
+    # stream over a glob the second batch will later match
+    q = dedup_stream(spark, f"{d}/*/*.parquet", schema=schema)
+    try:
+        q.processAllAvailable()
+        n1 = spark.table("deduped").count()
+        # replay: same content, new keys — state must drop all of it
+        replay = pdf.copy()
+        replay["path"] = "replay/" + replay["path"]
+        spark.createDataFrame(replay).coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(d, "b2"))
+        q.processAllAvailable()
+        n2 = spark.table("deduped").count()
+    finally:
+        q.stop()
+    assert n1 == pdf["content"].nunique()
+    assert n2 == n1, "late duplicates must not re-emit"

@@ -1,0 +1,66 @@
+"""Streaming exact dedup: the curation pipeline's d1 stage as a
+continuously-running ingest filter (new corpus shards arrive as files;
+only first-seen content passes downstream).
+
+Custom stateful operator via ``applyInPandasWithState`` keyed on the
+content sha256: state is one marker per distinct hash; the first row
+seen for a hash is emitted, every later arrival (same batch or any
+later batch) is dropped.  Within a microbatch the winner is the min
+(repo, path, commit) key, so a single-batch run reproduces batch
+``exact_dedup``'s min-key survivor rule exactly (pinned by
+tests/test_streaming_dedup.py).
+
+Scale notes: state per key is a single byte-ish marker and the key is
+a 64-char hash — the state store grows with DISTINCT content, the
+theoretical minimum for exact streaming dedup.  At 10^12 docs, bound
+it: shard the stream by hash prefix (each shard an independent query
+with its own store), or age out state with a timeout where dedup only
+needs a freshness horizon; approximate alternatives (bloom state)
+trade false drops for O(1) memory.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_OUT_SCHEMA = ("content_sha256 string, repo string, path string, "
+               "commit string, lang string, content string")
+
+
+def dedup_stream(spark: SparkSession, input_glob: str, schema=None):
+    """readStream(parquet) -> sha256 -> stateful first-seen filter ->
+    memory sink ``deduped``.  Returns the started StreamingQuery."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (sha,) = key
+        if state.exists:
+            return  # hash already emitted in an earlier batch
+        best = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["repo", "path", "commit"])
+            head = pdf.iloc[0]
+            k = (head["repo"], head["path"], head["commit"])
+            if best is None or k < best[0]:
+                best = (k, head)
+        state.update((True,))
+        yield pd.DataFrame([{
+            "content_sha256": sha,
+            "repo": best[1]["repo"], "path": best[1]["path"],
+            "commit": best[1]["commit"], "lang": best[1]["lang"],
+            "content": best[1]["content"],
+        }])
+
+    src = spark.readStream.schema(schema).parquet(input_glob)
+    out = (src.withColumn("content_sha256", F.sha2("content", 256))
+           .groupBy("content_sha256")
+           .applyInPandasWithState(
+               fn,
+               outputStructType=_OUT_SCHEMA,
+               stateStructType="seen boolean",
+               outputMode="append",
+               timeoutConf=GroupStateTimeout.NoTimeout,
+           ))
+    return (out.writeStream.outputMode("append")
+            .format("memory").queryName("deduped").start())
