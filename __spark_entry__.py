@@ -457,6 +457,14 @@ def _q_x7_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q_x8_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.packing import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (chunk_documents(d, chunk_tokens=32)
+            .orderBy("doc_id", "chunk_idx"))
+
+
 def _q_d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.dedup import simhash
 
@@ -599,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_time_rollup": _q_s3_time_rollup,
         "x6_length_quantiles": _q_x6_length_quantiles,
         "x7_pack_sequences": _q_x7_pack_sequences,
+        "x8_chunk_documents": _q_x8_chunk_documents,
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
         "x3_langid_stopword": _q_t_langid_stopword,
@@ -964,6 +973,26 @@ def oracle_sql() -> dict[str, str]:
                    prev // 256 AS bin_id,
                    prev % 256 AS bin_offset
             FROM s ORDER BY doc_id
+        """,
+        "x8_chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(range(0,
+                       cast(ceil(len(toks) / 32.0) AS INT))) AS i
+              FROM t WHERE len(toks) > 0)
+            SELECT doc_id, i::BIGINT AS chunk_idx,
+                   array_to_string(
+                     list_slice(toks, i * 32 + 1, i * 32 + 32), ' ')
+                     AS chunk_text,
+                   least(len(toks) - i * 32, 32)::BIGINT
+                     AS chunk_n_tokens
+            FROM c ORDER BY doc_id, chunk_idx
         """,
         # s3: each level aggregated directly (the oracle need not share
         # the partial-reaggregation plan, only the results); integer

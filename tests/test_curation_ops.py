@@ -237,3 +237,41 @@ def test_pack_sequences_validates_and_handles_empty(spark):
     df2 = spark.createDataFrame([(1, 2)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df2, 0)
+
+
+# ---------------------------------------------------------------- x8
+
+def test_chunk_documents_reassembles_and_counts(spark):
+    from yalder_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, ""), (4, "   ")],
+        "doc_id long, text string")
+    rows = sorted(map(tuple, chunk_documents(df, 2).collect()))
+    assert rows == [
+        (1, 0, "a b", 2), (1, 1, "c d", 2), (1, 2, "e", 1),
+        (2, 0, "x", 1),
+    ]  # empty/whitespace docs produce zero chunks
+
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, 0)
+
+
+def test_chunk_documents_totals_match_token_count(spark):
+    from yalder_spark.operators.packing import chunk_documents
+    from yalder_spark.operators.textstats import token_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    total = (chunk_documents(docs, 32)
+             .agg(F.sum("chunk_n_tokens")).collect()[0][0])
+    want = token_count(docs).agg(F.sum("n_tokens")).collect()[0][0]
+    assert total == want > 0
+
+
+def test_chunk_documents_plan_is_map_only(spark):
+    from yalder_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (chunk_documents(docs, 32)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan[:600]

@@ -82,3 +82,36 @@ def pack_sequences(df: DataFrame, budget: int, order_col: str = "doc_id",
     return src.groupBy("_chunk").applyInPandas(
         assign,
         f"{order_col} long, {tokens_col} long, bin_id long, bin_offset long")
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    ) -> DataFrame:
+    """x8 — split each document's whitespace-token stream into
+    fixed-size chunks (the materialization step downstream of
+    ``pack_sequences``' layout): -> (id, chunk_idx, chunk_text,
+    chunk_n_tokens).  Empty documents produce zero chunks.
+
+    Fully declarative — split / sequence / explode / slice /
+    concat_ws, all inside whole-stage codegen; no UDF, no shuffle
+    (map-only: each output row derives from one input row).  Token
+    rule matches token_count (x1): whitespace split of trimmed text."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
+        .otherwise(F.size(toks))
+    n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
+    return (df.select(F.col(id_col), toks.alias("_t"), n_chunks.alias("_nc"))
+            .filter(F.col("_nc") > 0)
+            .withColumn("chunk_idx", F.explode(F.sequence(
+                F.lit(0), F.col("_nc") - 1)))
+            .select(id_col, F.col("chunk_idx").cast("long"),
+                    F.concat_ws(" ", F.slice(
+                        F.col("_t"),
+                        F.col("chunk_idx") * chunk_tokens + 1,
+                        chunk_tokens)).alias("chunk_text"),
+                    F.least(F.size(F.col("_t"))
+                            - F.col("chunk_idx") * chunk_tokens,
+                            F.lit(chunk_tokens)).cast("long")
+                    .alias("chunk_n_tokens")))
