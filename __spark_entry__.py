@@ -465,6 +465,20 @@ def _q_x8_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "chunk_idx"))
 
 
+def _q_d8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d8 — deterministic eval split (doc_id % 20 == 0 stands in for a
+    benchmark set); the 4 flagged pairs at sf0.01 are the planted
+    near-dups whose partner landed in the eval split — exactly what
+    decontamination exists to catch."""
+    from yalder_spark.operators.dedup import decontaminate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(train, ev, "text", "doc_id",
+                         shingle_len=13, min_overlap=30)
+
+
 def _q_d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.dedup import simhash
 
@@ -608,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_length_quantiles": _q_x6_length_quantiles,
         "x7_pack_sequences": _q_x7_pack_sequences,
         "x8_chunk_documents": _q_x8_chunk_documents,
+        "d8_decontaminate": _q_d8_decontaminate,
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
         "x3_langid_stopword": _q_t_langid_stopword,
@@ -993,6 +1008,31 @@ def oracle_sql() -> dict[str, str]:
                    least(len(toks) - i * 32, 32)::BIGINT
                      AS chunk_n_tokens
             FROM c ORDER BY doc_id, chunk_idx
+        """,
+        "d8_decontaminate": """
+            WITH ev AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id % 20 = 0),
+            tr AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id % 20 != 0),
+            evsh AS (
+              SELECT DISTINCT doc_id AS eval_id, unnest(list_distinct(
+                CASE WHEN length(text) >= 13 THEN
+                  list_transform(range(1, length(text) - 11),
+                                 i -> substr(text, i, 13))
+                ELSE []::VARCHAR[] END)) AS s
+              FROM ev),
+            trsh AS (
+              SELECT DISTINCT doc_id AS train_id, unnest(list_distinct(
+                CASE WHEN length(text) >= 13 THEN
+                  list_transform(range(1, length(text) - 11),
+                                 i -> substr(text, i, 13))
+                ELSE []::VARCHAR[] END)) AS s
+              FROM tr)
+            SELECT train_id, eval_id, count(*) AS n_shared
+            FROM trsh JOIN evsh USING (s)
+            GROUP BY train_id, eval_id
+            HAVING count(*) >= 30
+            ORDER BY train_id, eval_id
         """,
         # s3: each level aggregated directly (the oracle need not share
         # the partial-reaggregation plan, only the results); integer

@@ -275,3 +275,36 @@ def test_chunk_documents_plan_is_map_only(spark):
     plan = (chunk_documents(docs, 32)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan[:600]
+
+
+# ---------------------------------------------------------------- d8
+
+def test_decontaminate_flags_planted_contamination(spark):
+    from yalder_spark.operators.dedup import decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog repeatedly today"
+    train = spark.createDataFrame(
+        [(1, base + " with a small local edit"),     # near-copy of eval 100
+         (2, "completely different content about spark physical plans"),
+         (3, "short")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, base + " and some extra eval-only words")],
+        "doc_id long, text string")
+    got = {(r.train_id, r.eval_id): r.n_shared
+           for r in decontaminate(train, ev, shingle_len=13,
+                                  min_overlap=10).collect()}
+    assert set(got) == {(1, 100)}  # only the contaminated doc is flagged
+    assert got[(1, 100)] >= 10
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    from yalder_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    df = decontaminate(train, ev)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # eval shingles broadcast; train side never shuffled by shingle
+    assert "BroadcastHashJoin" in plan, plan[:600]

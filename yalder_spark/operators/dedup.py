@@ -424,3 +424,38 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             break
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("lbl").alias("cluster_rep"))
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingle_len: int = 13, min_overlap: int = 30) -> DataFrame:
+    """d8 — benchmark decontamination: flag training documents sharing
+    >= ``min_overlap`` DISTINCT character shingles with any evaluation
+    document (the GPT-3-style long-n-gram overlap rule: long shingles
+    make coincidental matches rare, the overlap count makes template
+    phrasing survivable; flagged docs are dropped or audited before
+    training).
+
+    Scale shape: eval sets are TINY (benchmarks, ~10^3-10^5 docs) while
+    train is the 100 TB side — so the eval shingle set is BROADCAST and
+    the whole check is map-side on the train scan plus one partial
+    aggregate of (train_id, eval_id) hit pairs; the train side is never
+    shuffled by shingle.  Returns (train_id, eval_id, n_shared)."""
+    def sh(df: DataFrame, out_id: str) -> DataFrame:
+        n_pos = F.length(text_col) - (shingle_len - 1)
+        arr = F.when(
+            n_pos >= 1,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), n_pos),
+                lambda i: F.substring(F.col(text_col), i,
+                                      F.lit(shingle_len)))),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col).alias(out_id),
+                         F.explode(arr).alias("s"))
+
+    return (sh(train, "train_id")
+            .join(F.broadcast(sh(eval_df, "eval_id")), "s")
+            .groupBy("train_id", "eval_id")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_overlap)
+            .orderBy("train_id", "eval_id"))
