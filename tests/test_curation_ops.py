@@ -308,3 +308,14 @@ def test_decontaminate_broadcasts_eval_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # eval shingles broadcast; train side never shuffled by shingle
     assert "BroadcastHashJoin" in plan, plan[:600]
+
+
+def test_cc_raises_on_non_convergence(spark):
+    from yalder_spark.operators.dedup import neardup_clusters
+
+    # a 6-node path needs ~5 propagation rounds; max_iter=2 must fail
+    # loudly rather than return a silently partial clustering
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        neardup_clusters(pairs, max_iter=2)

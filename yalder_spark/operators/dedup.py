@@ -422,6 +422,13 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if n_changed == 0:
             break
+    else:
+        # a silently partial clustering would under-drop near-dups;
+        # fail loudly — the caller raises max_iter (or switches to
+        # large-star/small-star for adversarial-diameter graphs)
+        raise RuntimeError(
+            f"neardup_clusters did not converge within {max_iter} "
+            f"iterations ({n_changed} labels still changing)")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("lbl").alias("cluster_rep"))
 
