@@ -479,6 +479,14 @@ def _q_d8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          shingle_len=13, min_overlap=30)
 
 
+def _q_d9_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yalder_spark.operators.sampling import balanced_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (balanced_sample(d, k=20)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 def _q_d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.dedup import simhash
 
@@ -623,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_pack_sequences": _q_x7_pack_sequences,
         "x8_chunk_documents": _q_x8_chunk_documents,
         "d8_decontaminate": _q_d8_decontaminate,
+        "d9_balanced_sample": _q_d9_balanced_sample,
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
         "x3_langid_stopword": _q_t_langid_stopword,
@@ -1033,6 +1042,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY train_id, eval_id
             HAVING count(*) >= 30
             ORDER BY train_id, eval_id
+        """,
+        "d9_balanced_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(sha256(text), 1, 16), doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 20 ORDER BY doc_id
         """,
         # s3: each level aggregated directly (the oracle need not share
         # the partial-reaggregation plan, only the results); integer

@@ -319,3 +319,39 @@ def test_cc_raises_on_non_convergence(spark):
                                   "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="converge"):
         neardup_clusters(pairs, max_iter=2)
+
+
+# ---------------------------------------------------------------- d9
+
+def test_balanced_sample_exact_k_and_deterministic(spark):
+    from yalder_spark.operators.sampling import balanced_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = balanced_sample(docs, k=5)
+    per = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {lang: min(5, n) for lang, n in sizes.items()}
+    # partition-invariant
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(r.doc_id for r in
+               balanced_sample(docs.repartition(13), k=5)
+               .select("doc_id").collect())
+    assert a == b
+
+    with pytest.raises(ValueError, match="k must"):
+        balanced_sample(docs, 0)
+
+
+def test_balanced_sample_duplicate_text_tiebreak(spark):
+    """Exact duplicate texts share a hash prefix — the id tiebreak must
+    make the winner deterministic."""
+    from yalder_spark.operators.sampling import balanced_sample
+
+    df = spark.createDataFrame(
+        [(3, "same text", "en"), (1, "same text", "en"),
+         (2, "same text", "en")],
+        "doc_id long, text string, lang string")
+    got = sorted(r.doc_id for r in balanced_sample(df, k=2).collect())
+    assert got == [1, 2]  # min ids win the tie

@@ -53,3 +53,30 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return (df.join(F.broadcast(dim), lang_col, "left")
             .filter(prefix < F.coalesce(F.col("thr"), F.lit(default_thr)))
             .drop("thr"))
+
+
+def balanced_sample(df: DataFrame, k: int, text_col: str = "text",
+                    lang_col: str = "lang",
+                    id_col: str = "doc_id") -> DataFrame:
+    """d9 — exactly min(k, group size) rows per language, chosen as the
+    k smallest content-hash prefixes: a deterministic, content-addressed
+    stand-in for per-stratum random sampling (same rows at any
+    partitioning/parallelism; re-runs and resumes agree).  The classic
+    balanced-subset op for eval-set construction.
+
+    Plan: one shuffle on lang + per-group sort (window row_number).
+    Scale note: an exact top-k per group sorts each stratum — fine when
+    k and strata counts are modest (eval sets); for 10^12-row strata
+    flip it into a FILTER by estimating the k-th smallest hash prefix
+    per group (approx_percentile on the prefix) and keeping rows below
+    it — same rule, no full sort, slight k jitter."""
+    from pyspark.sql import Window as W
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    # id tiebreak: EXACT duplicate texts share a hash prefix, and a
+    # bare row_number over ties is partition-order-dependent
+    prefix = F.substring(F.sha2(F.col(text_col), 256), 1, 16)
+    w = W.partitionBy(lang_col).orderBy(prefix, F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
