@@ -355,3 +355,23 @@ def test_balanced_sample_duplicate_text_tiebreak(spark):
         "doc_id long, text string, lang string")
     got = sorted(r.doc_id for r in balanced_sample(df, k=2).collect())
     assert got == [1, 2]  # min ids win the tie
+
+
+def test_approx_percentile_scale_path_tracks_exact(spark):
+    """x6's documented swap for corpus-wide scale (approx_percentile,
+    t-digest) must actually track the exact percentiles — the scale
+    path is tested, not just claimed."""
+    from yalder_spark.operators.textstats import length_quantiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r.lang: (r.p25, r.p50, r.p90, r.p99)
+             for r in length_quantiles(docs, "n_chars", "lang").collect()}
+    approx = {r.lang: (r.a25, r.a50, r.a90, r.a99) for r in
+              docs.groupBy("lang").agg(
+                  F.expr("approx_percentile(n_chars, array(0.25, 0.5, "
+                         "0.9, 0.99), 10000)").alias("q"))
+              .selectExpr("lang", "q[0] as a25", "q[1] as a50",
+                          "q[2] as a90", "q[3] as a99").collect()}
+    for lang, ex in exact.items():
+        for e, a in zip(ex, approx[lang]):
+            assert abs(a - e) <= max(0.05 * e, 2.0), (lang, e, a)

@@ -225,3 +225,34 @@ def test_curate_corpus_cluster_survivor_rule(spark, repos_pdf,
 
     with pytest.raises(ValueError, match="survivor_rule"):
         _dedup_survivors(df, "content", 0.85, "bogus")
+
+
+def test_decontaminate_corpus_drops_planted_overlap(spark, repos_pdf):
+    """d8 as a pipeline stage: an eval doc copied (with light edits)
+    into the training set gets its training twin dropped; clean docs
+    pass through untouched."""
+    import pandas as pd
+
+    from yalder_spark.pipeline import decontaminate_corpus
+
+    base = repos_input(repos_pdf).head(80).reset_index(drop=True)
+    ev_pdf = base.head(5).copy()
+    ev_pdf["path"] = "eval/" + ev_pdf["path"]
+    train_pdf = base.iloc[5:].reset_index(drop=True)
+    # plant contamination: training copies of the eval docs, lightly edited
+    bad = ev_pdf.copy()
+    bad["path"] = "contaminated/" + bad["path"]
+    bad["content"] = bad["content"] + "\none extra line"
+    train_pdf = pd.concat([train_pdf, bad], ignore_index=True)
+
+    train = spark.createDataFrame(train_pdf)
+    ev = spark.createDataFrame(ev_pdf)
+    clean, stats = decontaminate_corpus(train, ev, min_overlap=20)
+    out_paths = {r.path for r in clean.select("path").collect()}
+    assert stats["n_in"] == len(train_pdf)
+    assert stats["n_contaminated"] >= 5  # every planted twin flagged
+    assert stats["n_clean"] == len(out_paths)
+    for p in bad["path"]:
+        assert p not in out_paths, f"contaminated doc survived: {p}"
+    # clean columns unchanged (no doc_id leak)
+    assert set(clean.columns) == set(train.columns)

@@ -158,6 +158,34 @@ def _dedup_survivors(df: DataFrame, content_col: str,
     return survivors, stats
 
 
+def decontaminate_corpus(train: DataFrame, eval_df: DataFrame,
+                         content_col: str = "content",
+                         shingle_len: int = 13,
+                         min_overlap: int = 30,
+                         ) -> tuple[DataFrame, dict]:
+    """Drop training documents contaminated by the evaluation set (d8
+    as a pipeline stage; run AFTER curation, BEFORE tokenization).
+    Returns (clean DataFrame, {n_in, n_contaminated, n_clean}).
+
+    Doc identity matches the curation chain (xxhash64 of the key
+    columns); the flagged id set is tiny (contamination is rare), so
+    the drop is a broadcast-able left-anti join and the train side is
+    scanned, never shuffled (the eval shingles broadcast inside
+    `decontaminate`)."""
+    from yalder_spark.operators.dedup import decontaminate
+
+    ids = train.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+    ev = eval_df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+    flagged = (decontaminate(ids, ev, content_col, "doc_id",
+                             shingle_len, min_overlap)
+               .select(F.col("train_id").alias("doc_id")).distinct().cache())
+    n_bad = flagged.count()
+    n_in = ids.select("doc_id").count()
+    clean = ids.join(flagged, "doc_id", "left_anti").drop("doc_id")
+    return clean, {"n_in": n_in, "n_contaminated": n_bad,
+                   "n_clean": n_in - n_bad}
+
+
 def run_filter(spark: SparkSession, input_path: str, output_path: str,
                model: LanguageModel | str, ppl_model: LanguageModel | str,
                config: FilterConfig | None = None,
