@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Supplementary benchmark: the round-3 operators at sf0.1, local[32].
+
+Separate from bench.py (whose 8 headline queries stay stable across
+rounds for comparability).  Writes BENCH/round3_ops.json with per-op
+seconds (warm, min-of-N with the same concordance retry as bench.py)
+plus the host-contention canary.
+
+Run on a QUIET host only (see CLAUDE.md): numbers are polluted by
+concurrent Spark/pytest runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"))
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    from bench import _calibration_probe
+
+    spark = (SparkSession.builder.master(f"local[{args.cores}]")
+             .appName("bench-round3-ops")
+             .config("spark.sql.shuffle.partitions", str(args.cores))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory", "8g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    names = ["r13_asof_join", "r14_range_join", "s3_time_rollup",
+             "d6_neardup_clusters", "d7_stratified_sample",
+             "d8_decontaminate", "d9_balanced_sample",
+             "x5_token_histogram", "x6_length_quantiles",
+             "x7_pack_sequences", "x8_chunk_documents"]
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    results = {}
+    for name in names:
+        fn = lambda: qs[name](spark, args.sf_dir).count()  # noqa: E731
+        fn()  # warm
+        times = [timed(fn) for _ in range(args.runs)]
+        extra = 0
+        while extra < 4:
+            s = sorted(times)
+            if len(s) >= 2 and s[1] <= 1.25 * s[0]:
+                break
+            times.append(timed(fn))
+            extra += 1
+        results[name] = round(min(times), 4)
+        print(f"{name}: {results[name]}s", file=sys.stderr)
+
+    calib = _calibration_probe()
+    out = {
+        "sf_dir": args.sf_dir, "cores": args.cores,
+        "ops_sec": results, "total_sec": round(sum(results.values()), 4),
+        "calibration": {"probe_sec": calib,
+                        "noise_ratio": round(calib / 0.020, 2)},
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "round3_ops.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
