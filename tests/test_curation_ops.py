@@ -375,3 +375,21 @@ def test_approx_percentile_scale_path_tracks_exact(spark):
     for lang, ex in exact.items():
         for e, a in zip(ex, approx[lang]):
             assert abs(a - e) <= max(0.05 * e, 2.0), (lang, e, a)
+
+
+def test_pack_sequences_full_int64_range_keys(spark):
+    """Regression: xxhash64-style keys span the full int64 range, where
+    a BIGINT (key - lo) wraps around and silently breaks the global
+    layout; the DECIMAL(38,0) chunk arithmetic must stay exact."""
+    from yalder_spark.operators.packing import pack_sequences
+
+    rows = [(-(2**63) + 5, 10), (-(2**62), 7), (0, 3),
+            (2**62, 4), (2**63 - 10, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = sorted(map(tuple, pack_sequences(df, budget=8,
+                                           n_chunks=4).collect()))
+    off, want = 0, []
+    for k, t in sorted(rows):
+        want.append((k, t, off // 8, off % 8))
+        off += t
+    assert got == sorted(want)

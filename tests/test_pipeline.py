@@ -256,3 +256,29 @@ def test_decontaminate_corpus_drops_planted_overlap(spark, repos_pdf):
         assert p not in out_paths, f"contaminated doc survived: {p}"
     # clean columns unchanged (no doc_id leak)
     assert set(clean.columns) == set(train.columns)
+
+
+def test_decontaminate_corpus_stats_with_duplicate_identity(spark, repos_pdf):
+    """Rows sharing a (repo, path, commit) identity collapse to one
+    flagged id but the anti-join drops every such row — n_clean must
+    equal the actual surviving ROW count, not n_in - n_contaminated."""
+    import pandas as pd
+
+    from yalder_spark.pipeline import decontaminate_corpus
+
+    base = repos_input(repos_pdf).head(30).reset_index(drop=True)
+    ev_pdf = base.head(2).copy()
+    ev_pdf["path"] = "eval/" + ev_pdf["path"]
+    # two train ROWS with the SAME identity, both contaminated copies
+    bad = base.head(1).copy()
+    bad["path"] = "dupkey/" + bad["path"]
+    train_pdf = pd.concat([base.iloc[2:], bad, bad], ignore_index=True)
+
+    clean, stats = decontaminate_corpus(
+        spark.createDataFrame(train_pdf), spark.createDataFrame(ev_pdf),
+        min_overlap=20)
+    assert stats["n_clean"] == clean.count()     # row-accurate
+    assert stats["n_in"] == len(train_pdf)
+    # the dup-identity pair dropped 2 rows for 1 flagged id, so the old
+    # n_in - n_contaminated formula would OVERSTATE the clean count
+    assert stats["n_clean"] < stats["n_in"] - stats["n_contaminated"]

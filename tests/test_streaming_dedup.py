@@ -44,23 +44,20 @@ def test_stream_dedup_matches_batch_rule(spark, tmp_path):
     finally:
         q.stop()
 
-    # batch rule: keep the min (repo, path, commit) per distinct content
-    ids = df.withColumn(
-        "doc_id",
-        F.xxhash64(F.concat_ws("\x00", "repo", "path", "commit")))
-    batch = (df.withColumn("sha", F.sha2("content", 256))
-             .groupBy("sha")
-             .agg(F.min(F.struct("repo", "path", "commit")).alias("k"))
-             .select("sha", "k.repo", "k.path", "k.commit").toPandas())
-    want = set(map(tuple, batch[["sha", "repo", "path"]].values))
-    assert set(map(tuple, got[["content_sha256", "repo", "path"]].values)) \
-        == want
+    # ROW-level parity with the batch pipeline: same doc identity
+    # (xxhash64 of the key columns), same min-doc_id survivor
+    ids = df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+    keep = {r.keep_id for r in
+            exact_dedup(ids, "content", "doc_id").collect()}
+    got_ids = {r.doc_id for r in
+               spark.createDataFrame(got[["repo", "path", "commit"]])
+               .withColumn("doc_id",
+                           F.xxhash64("repo", "path", "commit"))
+               .collect()}
+    assert got_ids == keep
     assert len(got) == pdf["content"].nunique()
     assert len(got) < len(pdf)  # the planted dups were dropped
     assert got["content_sha256"].is_unique
-    # exact_dedup agrees on the number of survivors
-    ed = exact_dedup(ids, "content", "doc_id")
-    assert ed.count() == len(got)
 
 
 def test_stream_dedup_drops_late_duplicate_batch(spark, tmp_path):

@@ -284,3 +284,45 @@ def test_range_join_random_small_inputs_match_naive(spark):
         want = sorted((a[2], b[2]) for a in rows for b in rows
                       if a[0] == b[0] and a[1] + lo <= b[1] <= a[1] + hi)
         assert got == want, f"trial {trial}: lo={lo} hi={hi} bucket={bucket}"
+
+
+def test_rollup_reagg_min_max_and_rejects_unknown(spark):
+    """Coarse levels must combine min partials with MIN (not sum), and
+    unknown combiners are rejected instead of silently summed."""
+    from yalder_spark.operators.temporal import ntz_to_us, rollup_time
+
+    HOUR, DAY = 3_600_000_000, 86_400_000_000
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .select("event_type", ntz_to_us("ts").alias("ts_us"),
+                  (F.round(F.col("value") * 100, 0).cast("long"))
+                  .alias("cents")))
+    out = rollup_time(ev, "ts_us", [HOUR, DAY], ["event_type"],
+                      {"mn": F.min("cents"), "mx": F.max("cents")},
+                      reagg={"mn": "min", "mx": "max"})
+    day = {(r.bucket_us, r.event_type): (r.mn, r.mx)
+           for r in out.filter(F.col("level_us") == DAY).collect()}
+    direct = {(r.b, r.event_type): (r.mn, r.mx) for r in
+              ev.groupBy((F.floor(F.col("ts_us") / DAY) * DAY).alias("b"),
+                         "event_type")
+              .agg(F.min("cents").alias("mn"),
+                   F.max("cents").alias("mx")).collect()}
+    assert day == direct and len(day) > 0
+
+    with pytest.raises(ValueError, match="reagg"):
+        rollup_time(ev, "ts_us", [HOUR, DAY], ["event_type"],
+                    {"a": F.avg("cents")}, reagg={"a": "avg"})
+
+
+def test_rollup_cache_partials_opt_out(spark):
+    from yalder_spark.operators.temporal import ntz_to_us, rollup_time
+
+    HOUR, DAY = 3_600_000_000, 86_400_000_000
+    spark.catalog.clearCache()  # else earlier tests' cached partials
+    # are substituted into this (identical) subtree by the CacheManager
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .select("event_type", ntz_to_us("ts").alias("ts_us")))
+    out = rollup_time(ev, "ts_us", [HOUR, DAY], ["event_type"],
+                      cache_partials=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan
+    assert out.count() > 0

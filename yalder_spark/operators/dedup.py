@@ -398,6 +398,8 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     aggregates a single BIGINT per round.  Edges are expected
     pre-deduplicated (candidate pairs from d2/d5/e4); labels converge
     regardless of duplicate edges, they only cost shuffle bytes."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = (edges.union(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))

@@ -54,8 +54,15 @@ def pack_sequences(df: DataFrame, budget: int, order_col: str = "doc_id",
         return df.sparkSession.createDataFrame(
             [], f"{order_col} long, {tokens_col} long, "
                 "bin_id long, bin_offset long")
-    width = max(1, (int(hi) - int(lo)) // n_chunks + 1)
-    chunk = ((F.col(order_col) - F.lit(int(lo))) / width).cast("long")
+    width = max(1, (int(hi) - int(lo)) // n_chunks + 1)  # exact: Python ints
+    # chunk = (key - lo) DIV width in DECIMAL(38,0): full-int64-range
+    # keys (e.g. xxhash64 doc ids, lo ~ -2^63) overflow a BIGINT
+    # subtraction — silent wraparound breaks chunk monotonicity in key
+    # and with it the whole global layout; DECIMAL(38,0) holds the
+    # difference exactly and DIV is exact integer division
+    chunk = F.expr(
+        f"CAST((CAST({order_col} AS DECIMAL(38,0)) - "
+        f"CAST({int(lo)} AS DECIMAL(38,0))) DIV {width} AS BIGINT)")
     src = df.select(F.col(order_col), F.col(tokens_col),
                     chunk.alias("_chunk"))
 
@@ -96,11 +103,11 @@ def chunk_documents(df: DataFrame, chunk_tokens: int,
     concat_ws, all inside whole-stage codegen; no UDF, no shuffle
     (map-only: each output row derives from one input row).  Token
     rule matches token_count (x1): whitespace split of trimmed text."""
+    from yalder_spark.operators.textstats import ws_tokens
+
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
-        .otherwise(F.size(toks))
+    toks, n = ws_tokens(text_col)  # the frozen x1 token rule, shared
     n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
     return (df.select(F.col(id_col), toks.alias("_t"), n_chunks.alias("_nc"))
             .filter(F.col("_nc") > 0)

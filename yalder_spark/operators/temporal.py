@@ -103,7 +103,8 @@ def range_join(left: DataFrame, right: DataFrame, key_col: str,
 
 def rollup_time(ev: DataFrame, ts_col: str, widths_us: list[int],
                 keys: list[str], agg_cols: dict[str, Column] | None = None,
-                ) -> DataFrame:
+                reagg: dict[str, str] | None = None,
+                cache_partials: bool = True) -> DataFrame:
     """Hypertable-style multi-resolution time rollup (continuous
     aggregate): one pass computes the FINEST bucket's partials; every
     coarser level re-aggregates those partials instead of re-scanning
@@ -112,9 +113,18 @@ def rollup_time(ev: DataFrame, ts_col: str, widths_us: list[int],
     coarser width to be a multiple of the finest.
 
     Returns the union of all levels with a ``level_us`` column.
-    Aggregates are re-aggregable ones only (count/sum); derived
-    metrics (mean = sum/n) belong downstream, computed at read time.
-    """
+
+    ``reagg`` names each column's COMBINER at coarser levels —
+    "sum" (right for count and sum partials, the default), "min" or
+    "max".  Non-decomposable aggregates (avg, percentiles) must be
+    carried as their decomposed partials (sum+count; sketches) and
+    derived at read time — there is no silent default for them: every
+    ``agg_cols`` name not covered by the "sum" default must appear in
+    ``reagg`` or be summable, because summing an hourly max into a
+    daily "max" would be garbage.  ``cache_partials=False`` skips the
+    base cache (callers that run the rollup repeatedly in one session,
+    e.g. benchmarks, manage caching themselves; the default cache is
+    never unpersisted — it lives until the session drops it)."""
     widths = sorted(widths_us)
     w0 = widths[0]
     for w in widths[1:]:
@@ -123,11 +133,22 @@ def rollup_time(ev: DataFrame, ts_col: str, widths_us: list[int],
 
     if agg_cols is None:
         agg_cols = {"n": F.count("*")}
+    reagg = dict(reagg or {})
+    allowed = {"sum": F.sum, "min": F.min, "max": F.max}
+    bad = {n: r for n, r in reagg.items() if r not in allowed}
+    if bad:
+        raise ValueError(
+            f"reagg must map to one of {sorted(allowed)}; got {bad} — "
+            "non-decomposable aggregates (avg, percentile) must be "
+            "carried as partials and derived at read time")
+    combiners = {name: allowed[reagg.get(name, "sum")] for name in agg_cols}
+
     base = (ev.groupBy(
         (F.floor(F.col(ts_col) / w0) * w0).alias("bucket_us"), *keys)
         .agg(*[expr.alias(name) for name, expr in agg_cols.items()]))
-    # cache the finest partials: every coarser level derives from them
-    base = base.cache()
+    if cache_partials:
+        # every coarser level derives from the finest partials
+        base = base.cache()
 
     out = base.select(F.lit(w0).cast("long").alias("level_us"),
                       "bucket_us", *keys,
@@ -135,7 +156,7 @@ def rollup_time(ev: DataFrame, ts_col: str, widths_us: list[int],
     for w in widths[1:]:
         lvl = (base.groupBy(
             (F.floor(F.col("bucket_us") / w) * w).alias("bucket_us"), *keys)
-            .agg(*[F.sum(name).alias(name) for name in agg_cols])
+            .agg(*[combiners[name](name).alias(name) for name in agg_cols])
             .select(F.lit(w).cast("long").alias("level_us"),
                     "bucket_us", *keys,
                     *agg_cols.keys()))

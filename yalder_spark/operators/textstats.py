@@ -26,13 +26,24 @@ STOPWORDS = {
 }
 
 
+
+def ws_tokens(text_col: str):
+    """The FROZEN x1 whitespace-token rule, single source of truth for
+    token_count / token_histogram / packing.chunk_documents (and the
+    matching DuckDB oracles): -> (token_array, token_count) column pair
+    over split(trim(text), '\\s+') with the empty-text guard."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
+        .otherwise(F.size(toks))
+    return toks, n
+
+
 def token_count(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate (word chunks of
     <=4 chars count one unit each): all JVM-side expressions."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    ws = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
-        .otherwise(F.size(toks)).cast("long")
+    toks, n = ws_tokens(text_col)
+    ws = n.cast("long")
     # BPE-ish: ceil(len(word)/4) summed over words ~ subword unit count
     bpe = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
         F.aggregate(toks, F.lit(0),
@@ -211,9 +222,8 @@ def token_histogram(df: DataFrame, text_col: str = "text",
     two) is libm-dependent and can round across engines.  Token rule
     is identical to token_count (x1).  Plan: one codegen'd projection +
     one partial-agg shuffle of (lang, bucket) keys only."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    ws = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
-        .otherwise(F.size(toks)).cast("long")
+    _, n = ws_tokens(text_col)
+    ws = n.cast("long")
     return (df.select(F.col(lang_col).alias("lang"), ws.alias("n_tokens"))
             .groupBy("lang", F.length(F.bin(F.col("n_tokens")))
                      .cast("long").alias("bucket"))
@@ -240,7 +250,7 @@ def length_quantiles(df: DataFrame, value_col: str = "n_chars",
     verification path on samples."""
     pcts = F.expr(f"percentile({value_col}, array({', '.join(map(str, qs))}))")
     cols = [F.round(F.element_at(F.col("_q"), i + 1), 6)
-            .alias(f"p{int(q * 100)}")
+            .alias(f"p{int(round(q * 100))}")  # int() truncates 0.57*100
             for i, q in enumerate(qs)]
     return (df.groupBy(F.col(lang_col).alias("lang"))
             .agg(pcts.alias("_q"))

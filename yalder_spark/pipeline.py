@@ -182,8 +182,13 @@ def decontaminate_corpus(train: DataFrame, eval_df: DataFrame,
     n_bad = flagged.count()
     n_in = ids.select("doc_id").count()
     clean = ids.join(flagged, "doc_id", "left_anti").drop("doc_id")
+    # n_clean counted from an id-only projection, NOT n_in - n_bad:
+    # rows sharing a (repo, path, commit) identity collapse to one
+    # flagged id but the anti-join drops every such row
+    n_clean = (ids.select("doc_id")
+               .join(flagged, "doc_id", "left_anti").count())
     return clean, {"n_in": n_in, "n_contaminated": n_bad,
-                   "n_clean": n_in - n_bad}
+                   "n_clean": n_clean}
 
 
 def run_filter(spark: SparkSession, input_path: str, output_path: str,

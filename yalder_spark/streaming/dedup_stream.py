@@ -6,8 +6,9 @@ Custom stateful operator via ``applyInPandasWithState`` keyed on the
 content sha256: state is one marker per distinct hash; the first row
 seen for a hash is emitted, every later arrival (same batch or any
 later batch) is dropped.  Within a microbatch the winner is the min
-(repo, path, commit) key, so a single-batch run reproduces batch
-``exact_dedup``'s min-key survivor rule exactly (pinned by
+``xxhash64(repo, path, commit)`` doc id — the batch pipeline's doc
+identity — so a single-batch run reproduces batch ``exact_dedup``'s
+min-doc_id survivor rule ROW-identically (pinned by
 tests/test_streaming_dedup.py).
 
 Scale notes: state per key is a single byte-ish marker and the key is
@@ -30,7 +31,13 @@ _OUT_SCHEMA = ("content_sha256 string, repo string, path string, "
 
 def dedup_stream(spark: SparkSession, input_glob: str, schema=None):
     """readStream(parquet) -> sha256 -> stateful first-seen filter ->
-    memory sink ``deduped``.  Returns the started StreamingQuery."""
+    memory sink ``deduped``.  Returns the started StreamingQuery.
+
+    The within-batch winner is the min ``xxhash64(repo, path, commit)``
+    doc id — the SAME identity and survivor rule as the batch
+    pipeline's exact-dedup stage (`pipeline._dedup_survivors`), so a
+    single-batch run is row-identical to the batch path; the id is
+    computed JVM-side before the stateful operator."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdfs, state: GroupState):
@@ -39,21 +46,20 @@ def dedup_stream(spark: SparkSession, input_glob: str, schema=None):
             return  # hash already emitted in an earlier batch
         best = None
         for pdf in pdfs:
-            pdf = pdf.sort_values(["repo", "path", "commit"])
-            head = pdf.iloc[0]
-            k = (head["repo"], head["path"], head["commit"])
-            if best is None or k < best[0]:
-                best = (k, head)
+            head = pdf.loc[pdf["_doc_id"].idxmin()]
+            if best is None or head["_doc_id"] < best["_doc_id"]:
+                best = head
         state.update((True,))
         yield pd.DataFrame([{
             "content_sha256": sha,
-            "repo": best[1]["repo"], "path": best[1]["path"],
-            "commit": best[1]["commit"], "lang": best[1]["lang"],
-            "content": best[1]["content"],
+            "repo": best["repo"], "path": best["path"],
+            "commit": best["commit"], "lang": best["lang"],
+            "content": best["content"],
         }])
 
     src = spark.readStream.schema(schema).parquet(input_glob)
     out = (src.withColumn("content_sha256", F.sha2("content", 256))
+           .withColumn("_doc_id", F.xxhash64("repo", "path", "commit"))
            .groupBy("content_sha256")
            .applyInPandasWithState(
                fn,
