@@ -487,6 +487,21 @@ def _q_d9_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def _q_x9_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x9 — Python UDTF (lateral table function): per-document word
+    frequencies for words of length >= 6 — the one UDF surface the rest
+    of the contract doesn't exercise (variable rows per input row)."""
+    from yalder_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("_x9_docs")
+    return spark.sql(
+        "SELECT doc_id, s.word, s.n "
+        "FROM _x9_docs, LATERAL word_freqs(text, 6) s "
+        "ORDER BY doc_id, word")
+
+
 def _q_d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.dedup import simhash
 
@@ -597,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_pivot": R.q_pivot,
         "r11_having_scalar": R.q_having_scalar,
         "r12_cube": R.q_cube,
+        "r15_lag_delta": R.q_lag_delta,
         # detection dataflow (SURVEY §2.A)
         "h1_normalize": _q_h1_normalize,
         "h2_ngram_count": _q_h2_ngram_count,
@@ -632,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_chunk_documents": _q_x8_chunk_documents,
         "d8_decontaminate": _q_d8_decontaminate,
         "d9_balanced_sample": _q_d9_balanced_sample,
+        "x9_word_freqs": _q_x9_word_freqs,
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
         "x3_langid_stopword": _q_t_langid_stopword,
@@ -1051,6 +1068,32 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY substr(sha256(text), 1, 16), doc_id) AS rn
               FROM documents)
             WHERE rn <= 20 ORDER BY doc_id
+        """,
+        "r15_lag_delta": """
+            SELECT * FROM (
+              SELECT o_custkey, o_orderkey,
+                     date_diff('day',
+                       lag(o_orderdate) OVER w, o_orderdate)::BIGINT
+                       AS days_since_prev,
+                     round(o_totalprice - lag(o_totalprice) OVER w, 2)
+                       AS price_delta,
+                     row_number() OVER w::BIGINT AS order_seq
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey))
+            WHERE order_seq > 1
+            ORDER BY o_custkey, order_seq
+        """,
+        "x9_word_freqs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                       AS word
+              FROM documents WHERE length(trim(text)) > 0)
+            SELECT doc_id, word, count(*)::BIGINT AS n
+            FROM w WHERE length(word) >= 6
+            GROUP BY doc_id, word
+            ORDER BY doc_id, word
         """,
         # s3: each level aggregated directly (the oracle need not share
         # the partial-reaggregation plan, only the results); integer

@@ -393,3 +393,29 @@ def test_pack_sequences_full_int64_range_keys(spark):
         want.append((k, t, off // 8, off % 8))
         off += t
     assert got == sorted(want)
+
+
+# --------------------------------------------------------------- UDTFs
+
+def test_split_sentences_udtf(spark):
+    from yalder_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM split_sentences('Hi there. How are you?!  Fine! ')"
+    ).collect()
+    assert [(r.sent_idx, r.sentence) for r in rows] == [
+        (0, "Hi there"), (1, "How are you"), (2, "Fine")]
+    assert spark.sql("SELECT * FROM split_sentences('...')").count() == 0
+    assert spark.sql(
+        "SELECT * FROM split_sentences(CAST(NULL AS STRING))").count() == 0
+
+
+def test_word_freqs_udtf_counts_and_order(spark):
+    from yalder_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM word_freqs('zebra apple zebra tiny apple', 5)"
+    ).collect()
+    assert [(r.word, r.n) for r in rows] == [("apple", 2), ("zebra", 2)]

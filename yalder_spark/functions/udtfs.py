@@ -1,0 +1,60 @@
+"""Python UDTFs (Spark 4 user-defined TABLE functions) — the one UDF
+surface the fused pipeline doesn't already exercise (mapInArrow,
+mapInPandas, applyInPandas, applyInPandasWithState cover the rest).
+
+UDTFs run row-at-a-time in Python — the SLOW path.  `SplitSentences`
+exists as (a) the API-surface demo and (b) the escape hatch for
+per-row logic that genuinely must emit a variable number of rows with
+early termination; for anything expressible with arrays, prefer the
+declarative explode form (see `packing.chunk_documents`, zero-UDF).
+The sentence rule is deliberately engine-portable: split on `[.!?]+`,
+regex-trim each piece (`^\\s+|\\s+$`), drop empties, index AFTER
+filtering — the DuckDB oracle replicates it with list functions.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.functions import udtf
+
+_TRIM = re.compile(r"^\s+|\s+$")
+_SENT_BREAK = re.compile(r"[.!?]+")
+
+
+@udtf(returnType="sent_idx bigint, sentence string")
+class SplitSentences:
+    """(text) -> one row per non-empty sentence, 0-indexed."""
+
+    def eval(self, text: str | None):  # noqa: D102 — UDTF contract
+        if text is None:
+            return
+        i = 0
+        for piece in _SENT_BREAK.split(text):
+            p = _TRIM.sub("", piece)
+            if p:
+                yield i, p
+                i += 1
+
+
+@udtf(returnType="word string, n bigint")
+class WordFreqs:
+    """(text, min_len) -> one row per distinct word of length >=
+    min_len, with its in-document count; rows sorted by word (the
+    deterministic order the oracle pairs on)."""
+
+    def eval(self, text: str | None, min_len: int):  # noqa: D102
+        if text is None:
+            return
+        counts: dict[str, int] = {}
+        for w in text.split():
+            if len(w) >= min_len:
+                counts[w] = counts.get(w, 0) + 1
+        for w in sorted(counts):
+            yield w, counts[w]
+
+
+def register_udtfs(spark) -> None:
+    """Idempotent registration of all UDTFs for SQL use."""
+    spark.udtf.register("split_sentences", SplitSentences)
+    spark.udtf.register("word_freqs", WordFreqs)

@@ -205,3 +205,27 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13b/r15 — lag/lead analytics: per-customer order-to-order gap in
+    days and price delta, the sequential-window pattern (same partition
+    sort serves lag, lead and row_number — ONE shuffle + sort)."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.datediff("o_orderdate",
+                       F.lag("o_orderdate").over(w)).cast("long")
+            .alias("days_since_prev"),
+            F.round(F.col("o_totalprice")
+                    - F.lag("o_totalprice").over(w), 2)
+            .alias("price_delta"),
+            F.row_number().over(w).cast("long").alias("order_seq"),
+        )
+        .filter(F.col("order_seq") > 1)  # first order has no prev
+        .orderBy("o_custkey", "order_seq")
+    )
