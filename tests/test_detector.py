@@ -92,3 +92,17 @@ def test_early_exit_labels_equal_full_scan(corpus_pdf, model_artifact):
     fast = score_batch(test_pdf["text"], model_artifact, early_exit=True)
     assert (full["detected_lang"] == fast["detected_lang"]).all()
     assert (full["n_ngrams"] == fast["n_ngrams"]).all()
+
+
+def test_detect_langs_text_only_input(spark, model_artifact):
+    """keep_text=False with NO passthrough columns used to build a
+    schema string starting with ', ' — Spark rejects it at planning."""
+    from yalder_spark.operators.detector import detect_langs
+
+    df = spark.createDataFrame([("hello world",), ("guten tag",)],
+                               "text string")
+    out = detect_langs(df, model_artifact, keep_text=False)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert "text" not in out.columns
+    assert {"detected_lang", "lang_score"} <= set(out.columns)

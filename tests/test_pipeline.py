@@ -7,6 +7,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from yalder_spark.fixtures.gen import repos_input
 from yalder_spark.pipeline import run_filter
@@ -282,3 +283,57 @@ def test_decontaminate_corpus_stats_with_duplicate_identity(spark, repos_pdf):
     # the dup-identity pair dropped 2 rows for 1 flagged id, so the old
     # n_in - n_contaminated formula would OVERSTATE the clean count
     assert stats["n_clean"] < stats["n_in"] - stats["n_contaminated"]
+
+
+def test_resume_rejects_changed_n_buckets(spark, input_path, model_artifact,
+                                          ppl_model, tmp_path):
+    """Resuming with a different bucket count would re-derive every
+    row's bucket and silently DUPLICATE already-committed rows — the
+    manifest records n_buckets and a mismatched resume must refuse."""
+    from yalder_spark.pipeline import run_filter
+
+    out = str(tmp_path / "out")
+    run_filter(spark, input_path, out, model_artifact, ppl_model,
+               n_buckets=4)
+    assert yio.read_manifest(out)["n_buckets"] == 4
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        run_filter(spark, input_path, out, model_artifact, ppl_model,
+                   n_buckets=8)
+    # same count still resumes as a no-op
+    rep = run_filter(spark, input_path, out, model_artifact, ppl_model,
+                     n_buckets=4)
+    assert rep["committed_buckets"] == []
+
+
+def test_null_repo_rows_are_committable(spark, model_artifact, ppl_model,
+                                        tmp_path, repos_pdf):
+    """A NULL repo key must hash to a real bucket (crc32(NULL) is NULL
+    and a NULL bucket stages as the Hive default partition, which the
+    integer commit loop cannot promote)."""
+    import pandas as pd
+
+    from yalder_spark.pipeline import run_filter
+
+    base = repos_input(repos_pdf).head(40).reset_index(drop=True)
+    base.loc[0, "repo"] = None
+    inp = str(tmp_path / "in.parquet")
+    spark.createDataFrame(base).write.parquet(inp)
+    out = str(tmp_path / "out")
+    rep = run_filter(spark, inp, out, model_artifact, ppl_model,
+                     n_buckets=4)
+    assert sorted(rep["committed_buckets"]) == [0, 1, 2, 3]
+    got = yio.read_output(spark, out)
+    assert got.count() == 40
+    assert got.filter(F.col("repo").isNull()).count() == 1
+
+
+def test_stale_staging_dirs_are_reclaimed(spark, input_path, model_artifact,
+                                          ppl_model, tmp_path):
+    from yalder_spark.pipeline import run_filter
+
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, "_staging", "deadbeef0000"))
+    open(os.path.join(out, "_staging", "deadbeef0000", "junk"), "w").close()
+    run_filter(spark, input_path, out, model_artifact, ppl_model,
+               n_buckets=4)
+    assert not os.path.exists(os.path.join(out, "_staging"))

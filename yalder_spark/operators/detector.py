@@ -76,7 +76,8 @@ def score_batch(texts, model: LanguageModel, early_exit: bool = False) -> pd.Dat
     hashes, doc_ids, n_docs = batch_ngram_hashes(texts)
     n_grams = np.bincount(doc_ids, minlength=n_docs).astype(np.int64)
     if early_exit:
-        scores, n_used = _score_early_exit(hashes, doc_ids, n_docs, model)
+        scores, n_used = _score_early_exit(hashes, doc_ids, n_docs, model,
+                                           n_grams)
     else:
         scores = model.score_sums(hashes, doc_ids, n_docs)
         n_used = n_grams
@@ -87,7 +88,8 @@ def score_batch(texts, model: LanguageModel, early_exit: bool = False) -> pd.Dat
     )
 
 
-def _score_early_exit(hashes, doc_ids, n_docs, model: LanguageModel):
+def _score_early_exit(hashes, doc_ids, n_docs, model: LanguageModel,
+                      n_grams=None):
     """H7 — chunked scoring with per-doc freeze once the margin is
     decisive.  Saves model-lookup + gather work on long, easy documents;
     labels must match the full scan (property-tested).
@@ -102,7 +104,8 @@ def _score_early_exit(hashes, doc_ids, n_docs, model: LanguageModel):
     seen = np.zeros(n_docs, np.int64)
     if len(hashes) == 0:
         return scores, seen
-    n_grams = np.bincount(doc_ids, minlength=n_docs).astype(np.int64)
+    if n_grams is None:  # caller usually has the bincount already
+        n_grams = np.bincount(doc_ids, minlength=n_docs).astype(np.int64)
     long_doc = n_grams > EARLY_MIN_NGRAMS + EARLY_CHUNK
     if not long_doc.any():
         # all-short batch: identical to the full scan, zero overhead
@@ -177,8 +180,11 @@ def detect_langs(df: DataFrame, model: LanguageModel, text_col: str = "text",
     once per stage via Spark's broadcast-backed command serialization).
     """
     fields = [f for f in df.schema.fields if keep_text or f.name != text_col]
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
-    out_schema = f"{out_schema}, {RESULT_SCHEMA}"
+    parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
+    # join COLUMN LIST + RESULT_SCHEMA together: with zero passthrough
+    # columns an f-string prefix would emit a leading ", " and Spark's
+    # DDL parser rejects the schema; backticks tolerate exotic names
+    out_schema = ", ".join([*parts, RESULT_SCHEMA])
     pass_cols = [f.name for f in fields]
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -133,8 +133,11 @@ class LanguageModel:
         os.makedirs(path, exist_ok=True)
         pq.write_table(pa.Table.from_pandas(self.to_pandas(), preserve_index=False),
                        os.path.join(path, TABLE))
-        meta = {"n": N, "alpha": ALPHA, "langs": self.langs,
-                "vocab_size": int(len(self.vocab)), **self.meta}
+        # carried meta first, FRESH derived values last: a model built
+        # from another's meta (trainer(..., meta=old.meta)) must not
+        # save a sidecar describing the OLD artifact's langs/vocab_size
+        meta = {**self.meta, "n": N, "alpha": ALPHA, "langs": self.langs,
+                "vocab_size": int(len(self.vocab))}
         with open(os.path.join(path, SIDECAR), "w") as f:
             json.dump(meta, f, indent=2, sort_keys=True)
 

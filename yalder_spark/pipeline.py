@@ -250,6 +250,7 @@ def _filter_and_commit(spark: SparkSession, src: DataFrame,
     config = config or FilterConfig()
     run_id = uuid.uuid4().hex[:12]
 
+    yio.assert_bucket_config(output_path, n_buckets)
     bucketed = yio.with_bucket(src, n_buckets)
     todo = yio.skip_committed(bucketed, spark, output_path)
 
@@ -273,7 +274,8 @@ def _filter_and_commit(spark: SparkSession, src: DataFrame,
                     "max_mean_line_len", "min_alpha_ratio")},
         "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(),
     }
-    committed = yio.write_buckets(filtered, output_path, lineage)
+    committed = yio.write_buckets(filtered, output_path, lineage,
+                                  n_buckets=n_buckets)
 
     # per-bucket metrics over what this run committed (reads the small
     # committed output back — pruned to the metric columns only)

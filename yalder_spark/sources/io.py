@@ -46,8 +46,12 @@ def with_bucket(df: DataFrame, n_buckets: int, repo_col: str = "repo") -> DataFr
     """S3 — stable repo-hash bucket column.  crc32 is deterministic
     across sessions (unlike F.hash's seed-sensitivity concerns) and the
     oracle can reproduce it."""
+    # NULL-safe: crc32(NULL) is NULL, and a NULL bucket stages as
+    # bucket=__HIVE_DEFAULT_PARTITION__, which the integer commit loop
+    # cannot promote — null keys hash like the empty string instead
     return df.withColumn(
-        "bucket", F.pmod(F.crc32(F.col(repo_col).cast("binary")), F.lit(n_buckets))
+        "bucket", F.pmod(F.crc32(F.coalesce(F.col(repo_col), F.lit(""))
+                                 .cast("binary")), F.lit(n_buckets))
     )
 
 
@@ -99,12 +103,13 @@ def register_bucketed_path(spark: SparkSession, table: str, path: str,
     schema = spark.read.parquet(path).schema
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                      for f in schema.fields)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = path.replace("'", "''")  # escape for the SQL string literal
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     spark.sql(f"""
-        CREATE TABLE {table} ({cols})
+        CREATE TABLE `{table}` ({cols})
         USING parquet
         CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {n_buckets} BUCKETS
-        LOCATION '{path}'
+        LOCATION '{loc}'
     """)
     return spark.table(table)
 
@@ -119,6 +124,21 @@ def read_manifest(out_path: str) -> dict:
 
 def committed_buckets(out_path: str) -> list[int]:
     return sorted(int(k) for k in read_manifest(out_path)["committed"])
+
+
+def assert_bucket_config(out_path: str, n_buckets: int) -> None:
+    """Refuse to resume with a different bucket count: manifest keys are
+    bucket ids, so changing n_buckets re-derives every row's bucket and
+    the committed-bucket anti-join no longer covers rows already written
+    under the old hashing — SILENT DUPLICATION.  The first committing
+    run records n_buckets in the manifest; every later run must match."""
+    prev = read_manifest(out_path).get("n_buckets")
+    if prev is not None and prev != n_buckets:
+        raise ValueError(
+            f"output at {out_path} was written with n_buckets={prev}; "
+            f"resuming with n_buckets={n_buckets} would duplicate rows "
+            "(bucket ids are part of the committed state) — rerun with "
+            f"--buckets {prev} or write to a fresh output path")
 
 
 def _write_manifest(out_path: str, manifest: dict) -> None:
@@ -140,10 +160,13 @@ def skip_committed(df: DataFrame, spark: SparkSession, out_path: str) -> DataFra
     return df.join(F.broadcast(done_df), "bucket", "left_anti")
 
 
-def commit_buckets(out_path: str, staging: str, lineage: dict) -> list[int]:
+def commit_buckets(out_path: str, staging: str, lineage: dict,
+                   n_buckets: int | None = None) -> list[int]:
     """Atomically promote every staged bucket dir and append manifest
     entries.  Idempotent: a bucket already committed is discarded."""
     manifest = read_manifest(out_path)
+    if n_buckets is not None:
+        manifest.setdefault("n_buckets", n_buckets)
     committed = []
     if os.path.isdir(staging):
         for name in sorted(os.listdir(staging)):
@@ -168,17 +191,35 @@ def commit_buckets(out_path: str, staging: str, lineage: dict) -> list[int]:
     manifest["runs"].append({**lineage, "buckets": committed})
     _write_manifest(out_path, manifest)
     shutil.rmtree(staging, ignore_errors=True)
+    try:  # drop the _staging root once no run dirs remain
+        os.rmdir(os.path.dirname(staging))
+    except OSError:
+        pass
     return committed
 
 
-def write_buckets(df: DataFrame, out_path: str, lineage: dict) -> list[int]:
+def write_buckets(df: DataFrame, out_path: str, lineage: dict,
+                  n_buckets: int | None = None) -> list[int]:
     """Single write job staging all buckets (partitionBy), then atomic
-    per-bucket promotion.  Returns newly committed bucket ids."""
+    per-bucket promotion.  Returns newly committed bucket ids.
+
+    Stale ``_staging/<run_id>`` dirs from crashed earlier runs are
+    reclaimed up front — their data was never committed and the resume
+    protocol recomputes it, so they are pure dead weight (the jobs are
+    single-writer by design: the committed-bucket protocol itself
+    assumes one active writer per output path)."""
     os.makedirs(out_path, exist_ok=True)
     run_id = lineage.get("run_id") or uuid.uuid4().hex[:12]
-    staging = os.path.join(out_path, "_staging", run_id)
+    staging_root = os.path.join(out_path, "_staging")
+    if os.path.isdir(staging_root):
+        for stale in os.listdir(staging_root):
+            if stale != run_id:
+                shutil.rmtree(os.path.join(staging_root, stale),
+                              ignore_errors=True)
+    staging = os.path.join(staging_root, run_id)
     df.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-    return commit_buckets(out_path, staging, {**lineage, "run_id": run_id})
+    return commit_buckets(out_path, staging, {**lineage, "run_id": run_id},
+                          n_buckets=n_buckets)
 
 
 def write_text_any_fs(spark: SparkSession, path: str, text: str) -> None:
