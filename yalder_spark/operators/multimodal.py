@@ -63,6 +63,11 @@ def image_features(df: DataFrame, decode: str = "fake",
     stub is the decode kernel itself."""
     if decode not in ("fake", "real"):
         raise ValueError(decode)
+    if resize_to <= 0 or resize_to % 8:
+        # fail at plan time, not as an opaque reshape error in a worker
+        raise ValueError(
+            f"resize_to must be a positive multiple of 8 (the 8x8 "
+            f"pooled feature grid is fixed at 64 dims), got {resize_to}")
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -121,8 +121,23 @@ def ivf_topk(emb: DataFrame, query: list[float], k: int = 10,
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
                              replace=False)]
+    def _sqdist(x: np.ndarray, cent_: np.ndarray, buf: np.ndarray,
+                out: np.ndarray) -> np.ndarray:
+        """Per-centroid squared distances with REUSED buffers — bitwise
+        identical to ((x[:,None,:] - c[None,:,:])**2).sum(-1), but that
+        broadcast materializes an [n, k, dim] temporary (~17 MB at
+        n=2048, k=16, dim=64) which this host's mmap behavior punishes
+        ~10x (CLAUDE.md); the loop peaks at one [n, dim] buffer."""
+        for ci in range(len(cent_)):
+            np.subtract(x, cent_[ci], out=buf)
+            np.multiply(buf, buf, out=buf)
+            out[:, ci] = buf.sum(axis=1)
+        return out
+
+    _buf = np.empty_like(sample)
+    _d = np.empty((len(sample), len(cent)))
     for _ in range(8):  # lloyd iterations on the sample
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        d = _sqdist(sample, cent, _buf, _d)
         assign = d.argmin(1)
         for c in range(len(cent)):
             m = assign == c
@@ -135,7 +150,8 @@ def ivf_topk(emb: DataFrame, query: list[float], k: int = 10,
     def assign_cells(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            d = _sqdist(v, cent, np.empty_like(v),
+                        np.empty((len(v), len(cent))))
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
                                 vec_col: pdf[vec_col],
                                 "cell": d.argmin(1).astype(np.int32)})

@@ -59,6 +59,9 @@ def quality_score(df: DataFrame, text_col: str = "text",
     length = F.length(F.col(text_col))
     alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
     punct = F.length(F.regexp_replace(F.col(text_col), "[^.,;:!?]", ""))
+    # NOTE frozen quirk: split(trim('')) yields [''] so an empty doc
+    # reports n_words=1 — consistent with the x2 DuckDB oracle and the
+    # goldens; changing it is a deliberate spec change (CLAUDE.md)
     n_words = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     alpha_ratio = alpha / F.greatest(length, F.lit(1))
     punct_ratio = punct / F.greatest(length, F.lit(1))
@@ -216,10 +219,11 @@ def token_histogram(df: DataFrame, text_col: str = "text",
     counts: the corpus-report primitive a curation run emits per batch
     (doc-length mix drives tokenizer/packing decisions downstream).
 
-    bucket = bit_length(n_tokens) computed as length(bin(n)) — EXACT
-    integer arithmetic in every engine, deliberately not
-    floor(log2(n)): float log2 at bucket boundaries (exact powers of
-    two) is libm-dependent and can round across engines.  Token rule
+    bucket = length(bin(n)) — EXACT integer arithmetic in every
+    engine, deliberately not float log2 (libm-dependent rounding at
+    power-of-two boundaries).  Equals bit_length(n) for n >= 1; n = 0
+    also lands in bucket 1 (bin(0) = '0'), merging empty docs with
+    one-token docs — min_tokens = 0 in bucket 1 is the tell.  Token rule
     is identical to token_count (x1).  Plan: one codegen'd projection +
     one partial-agg shuffle of (lang, bucket) keys only."""
     _, n = ws_tokens(text_col)

@@ -16,8 +16,13 @@ Dataflow::
       -> log_prob = log(count / total)                          (T3)
 
 The salt spreads a hot (lang, ngram_hash) pair across SALT partial
-groups; it is derived from the *row*, not the key (pmod(crc32(doc key))),
-so identical keys from different docs land in different partial groups.
+groups; it is pmod(spark_partition_id(), n_salt) — NOT
+monotonically_increasing_id or rand(), which are nondeterministic
+under task retry: a recomputed map task would re-salt its rows into
+different reduce groups than the original attempt fed, and completed
+reducers would double-count or miss occurrences.  partition ids and
+each partition's row set are stable across retries, and a hot key
+occurring in many partitions still fans across partial groups.
 Spark's hash-aggregate already does map-side partial aggregation; the
 explicit two-phase salt additionally bounds the size of any single
 reduce-side group at 100 TB scale (dominant-language skew, BJ:6) and is
@@ -69,7 +74,12 @@ def explode_ngram_hashes(df: DataFrame, text_col: str = "text",
                 "cnt_partial": cnt,
             })
 
-    return df.select(lang_col, text_col).mapInPandas(gen, _EXPLODE_SCHEMA)
+    # NULL labels would crash np.unique's object-array sort inside the
+    # worker; training rows without a language are meaningless — drop
+    # them explicitly at the scan
+    return (df.select(lang_col, text_col)
+            .filter(F.col(lang_col).isNotNull())
+            .mapInPandas(gen, _EXPLODE_SCHEMA))
 
 
 def ngram_counts(df: DataFrame, text_col: str = "text", lang_col: str = "lang",
@@ -77,9 +87,10 @@ def ngram_counts(df: DataFrame, text_col: str = "text", lang_col: str = "lang",
     """T2 — salted two-phase (lang, ngram_hash) frequency count over the
     batch-preaggregated partials.  Returns (lang, ngram_hash, cnt)."""
     exploded = explode_ngram_hashes(df, text_col, lang_col)
-    # row-derived salt: spreads hot keys across n_salt partial groups
+    # retry-deterministic salt (see module docstring): partition id is
+    # stable across task reruns, unlike monotonically_increasing_id
     salted = exploded.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
+        "_salt", F.pmod(F.spark_partition_id(), F.lit(n_salt))
     )
     phase1 = (salted.groupBy("lang", "ngram_hash", "_salt")
               .agg(F.sum("cnt_partial").alias("cnt_p")))

@@ -32,10 +32,11 @@ def windowed_counts_stream(spark: SparkSession, sf_dir: str,
     Returns the started StreamingQuery (caller: processAllAvailable()
     then query the sink table)."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # glob form: FileStreamSource requires basePath to be a directory
+    # glob form: FileStreamSource requires basePath to be a directory,
+    # so the file itself is matched via a one-char glob (any trailing
+    # slash on sf_dir is normalized away first)
     ev = (spark.readStream.schema(schema)
-          .parquet(f"{sf_dir}/events.parquet" if sf_dir.endswith("/")
-                   else f"{sf_dir}/events.parque[t]"))
+          .parquet(f"{sf_dir.rstrip('/')}/events.parque[t]"))
     # driver parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP
     ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
@@ -50,8 +51,10 @@ def windowed_counts_stream(spark: SparkSession, sf_dir: str,
 
 def sessionize_batch(spark: SparkSession, sf_dir: str,
                      gap_minutes: int = 30) -> DataFrame:
-    """Batch-equivalent of ``sessionize_stream`` (identical session
-    boundaries on a static table): classic gap-based sessionization as
+    """Batch-equivalent of ``sessionize_stream`` (identical CLOSED
+    session boundaries on a static table; the stream additionally holds
+    each user's final still-open session in state — see
+    ``sessionize_stream``): classic gap-based sessionization as
     a declarative plan — lag diff > gap marks a break, running sum of
     breaks numbers the sessions, then one aggregate per session.  Two
     window passes + one groupBy, all on the same (user_id, ts)
@@ -97,6 +100,15 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
     than ``gap_minutes`` after the previous one closes the session and
     emits it.  Returns the started query writing closed sessions to the
     in-memory table ``sessions``.
+
+    Streaming semantics caveat: each user's FINAL session stays open in
+    state (with NoTimeout nothing ever closes it), so the sink holds
+    the CLOSED sessions only — a session is only knowably over once its
+    gap has elapsed.  A production variant would use
+    ProcessingTimeTimeout to flush sessions idle past the gap; the
+    batch form (``sessionize_batch``) sees the table's end and can
+    close every session, which is why parity tests compare closed
+    sessions.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     import pandas as pd
