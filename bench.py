@@ -150,7 +150,10 @@ def run_bench(spark, sf_dir: str, mult: int, runs: int = 2) -> dict:
         Bounded extras; sustained noise still returns the best observed
         time, and the calibration probes in the JSON flag the window."""
         times = [timed(fn) for _ in range(runs)]
-        exp = _EXPECTED_SEC.get(name) if cores >= 16 else None
+        # the recorded clean bests are local[32] numbers: anchoring a
+        # local[16] run against them would brand every clean run noisy
+        # and waste max_extra reruns per query
+        exp = _EXPECTED_SEC.get(name) if cores >= 32 else None
         extra = 0
         while extra < max_extra:
             s = sorted(times)

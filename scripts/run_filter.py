@@ -28,12 +28,24 @@ def build_pyfiles_zip(dist_dir: str | None = None) -> str:
     os.makedirs(dist, exist_ok=True)
     zpath = os.path.join(dist, "yalder_spark.zip")
     pkg = os.path.join(REPO, "yalder_spark")
+    if not os.path.isdir(pkg):
+        # fail HERE, not as ModuleNotFoundError inside the first
+        # executor task shipped an empty (but valid) zip
+        raise RuntimeError(
+            f"yalder_spark package source not found at {pkg}; this "
+            "script ships the repo checkout via --py-files — for an "
+            "installed package, submit with your own --py-files zip")
+    n = 0
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _, files in os.walk(pkg):
             for f in files:
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, REPO))
+                    n += 1
+    if n == 0:
+        raise RuntimeError(f"no .py files under {pkg}; refusing to ship "
+                           "an empty py-files zip")
     return zpath
 
 

@@ -210,3 +210,37 @@ def test_embedding_neardup_bucket_cap(spark):
     out = embedding_neardup(emb, threshold=0.9, max_bucket=64).toPandas()
     clones = out[(out["id_a"] < 300) & (out["id_b"] < 300)]
     assert len(clones) == 0, "capped bucket must emit no pairs"
+
+
+def test_jaccard_pairs_duplicate_and_empty_inputs(spark):
+    """Duplicate candidate rows must not inflate the intersection count,
+    and a candidate pair touching a zero-shingle (empty) doc must yield
+    jaccard 0.0 instead of vanishing through an inner join."""
+    from yalder_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3)], "id_a long, id_b long")  # (1,2) twice
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, pairs).collect()}
+    assert got[(1, 2)] == 1.0          # identical docs; dup row didn't inflate
+    assert got[(1, 3)] == 0.0          # empty doc kept, zero similarity
+    assert len(got) == 2
+
+
+def test_minhash_candidates_skew_guard_caps_degenerate_bucket(spark):
+    """B identical docs collide in every band; max_bucket must cap the
+    quadratic pair blowup (and leave normal corpora untouched)."""
+    from yalder_spark.operators.dedup import minhash_lsh_candidates
+
+    rows = [(i, "exactly the same content in every row") for i in range(30)]
+    rows += [(100, "something completely different here"),
+             (101, "something completely different here too")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_uncapped = minhash_lsh_candidates(df, max_bucket=0).count()
+    n_capped = minhash_lsh_candidates(df, max_bucket=10).count()
+    assert n_uncapped >= 30 * 29 // 2  # the blowup the guard exists for
+    assert n_capped < 30               # degenerate bucket dropped

@@ -112,9 +112,17 @@ def _commit(repo: str, path: str, seed: int) -> str:
 
 
 def gen_repos(n_rows: int = 500, seed: int = 42, n_orgs: int = 8) -> pd.DataFrame:
-    """B1 — (repo, path, commit, lang, content) + sidecar expectation
-    columns (nat_lang, inj_pii, inj_tox, inj_autogen, inj_longline,
+    """B1 — (repo, path, commit, lang, content) + sidecar columns
+    (nat_lang, inj_pii, inj_tox, inj_autogen, inj_longline,
     inj_lowalpha, inj_empty).
+
+    The inj_* columns record GENERATION INTENT — which injector touched
+    the row — not a guaranteed post-filter label: other row content can
+    push a signal back over a threshold (e.g. an inj_lowalpha row whose
+    code blocks keep alpha_ratio above the cutoff).  Correctness is
+    gated on the pure-oracle goldens (tests/test_golden.py), which
+    label every row by running the actual frozen rules; treat inj_* as
+    debugging breadcrumbs only, never as assertion targets.
 
     Repo sizes are Zipf-ish: repo index drawn as int(n_repos * rng.random()**3)
     so repo 0 is a 'monster' (partition-skew fixture).  Natural-language

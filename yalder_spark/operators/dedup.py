@@ -122,10 +122,26 @@ def lsh_bands(df: DataFrame, text_col: str = "text",
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           max_bucket: int = 1024) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from LSH bucket
-    collisions.  Self-join on (band, band_hash); dedup across bands."""
+    collisions.  Self-join on (band, band_hash); dedup across bands.
+
+    ``max_bucket`` caps degenerate buckets (same guard as d3b/e4): B
+    ids in one bucket emit B(B-1)/2 pairs, so one pathological bucket —
+    e.g. millions of EXACT duplicates, which all collide in every band
+    — would blow the self-join quadratically.  Oversized buckets are
+    dropped via a broadcast anti-join; their members are exact-dup-like
+    clusters that ``exact_dedup`` (which the curation chain runs FIRST)
+    owns.  The pure oracle omits the cap — parity holds on any corpus
+    where no bucket exceeds it (the goldens' corpora do), the same
+    contract as simhash_candidates/embedding_neardup."""
     b = lsh_bands(df, text_col, id_col)
+    if max_bucket:
+        big = (b.groupBy("band", "band_hash").count()
+               .filter(F.col("count") > max_bucket)
+               .select("band", "band_hash"))
+        b = b.join(F.broadcast(big), ["band", "band_hash"], "left_anti")
     left = b.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     right = b.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (
@@ -142,6 +158,8 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     """Exact 4-gram-shingle-set Jaccard for candidate pairs: explode
     DISTINCT shingles (set semantics), join on shingle, count
     intersections — only candidate docs' shingles shuffle."""
+    pairs = pairs.distinct()  # duplicate pair rows would double-count
+    # intersections through the two joins below (jaccard could exceed 1)
     cand_ids = (pairs.select(F.col("id_a").alias(id_col))
                 .union(pairs.select("id_b")).distinct())
     docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
@@ -164,10 +182,18 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     return (
         pairs.join(inter, ["id_a", "id_b"], "left")
         .fillna(0, subset=["n_inter"])
-        .join(sizes.withColumnsRenamed({id_col: "id_a", "set_size": "size_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "set_size": "size_b"}), "id_b")
+        # LEFT joins + zero fill: a candidate doc with ZERO shingles
+        # (empty/whitespace text) must yield jaccard 0.0 like the pure
+        # oracle, not vanish from the output through an inner join
+        .join(sizes.withColumnsRenamed({id_col: "id_a", "set_size": "size_a"}), "id_a", "left")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "set_size": "size_b"}), "id_b", "left")
+        .fillna(0, subset=["size_a", "size_b"])
+        .withColumn("_union",
+                    F.col("size_a") + F.col("size_b") - F.col("n_inter"))
         .withColumn("jaccard",
-                    F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")))
+                    F.when(F.col("_union") > 0,
+                           F.col("n_inter") / F.col("_union"))
+                    .otherwise(F.lit(0.0)))
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -260,9 +286,23 @@ def simhash(df: DataFrame, text_col: str = "text",
                 # spread the 32-bit ngram hash to 64 bits (splitmix-style)
                 h = hashes.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
                 h ^= h >> np.uint64(31)
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
-                        np.uint64(1)).astype(np.int64) * 2 - 1
-                np.add.at(acc, doc_ids, bits)
+                # per-bit loop over reused 1-D buffers: the broadcast
+                # [n_windows, 64] ±1 matrix is hundreds of MB on KB-doc
+                # batches (the mmap-churn trap, CLAUDE.md) and add.at is
+                # the slow path; integer ±1 sums are order-independent,
+                # so per-segment reduceat is BITWISE identical
+                starts = np.searchsorted(doc_ids, np.arange(n_docs))
+                nonempty = starts < np.append(starts[1:], len(doc_ids))
+                ne_starts = starts[nonempty]
+                ne_idx = np.nonzero(nonempty)[0]
+                ubuf = np.empty(len(h), np.uint64)
+                buf = np.empty(len(h), np.int64)
+                for b in range(64):
+                    np.right_shift(h, np.uint64(b), out=ubuf)
+                    np.bitwise_and(ubuf, np.uint64(1), out=ubuf)
+                    np.multiply(ubuf.view(np.int64), 2, out=buf)
+                    buf -= 1
+                    acc[ne_idx, b] = np.add.reduceat(buf, ne_starts)
             fp = (acc > 0).astype(np.uint64)
             val = np.zeros(n_docs, dtype=np.uint64)
             for b in range(64):

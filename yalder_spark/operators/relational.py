@@ -211,8 +211,6 @@ def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R13b/r15 — lag/lead analytics: per-customer order-to-order gap in
     days and price delta, the sequential-window pattern (same partition
     sort serves lag, lead and row_number — ONE shuffle + sort)."""
-    from pyspark.sql import Window as W
-
     o = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (

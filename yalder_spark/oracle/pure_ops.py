@@ -26,8 +26,10 @@ import numpy as np
 
 from yalder_spark.functions.ngram import ngram_hashes_one
 from yalder_spark.operators.dedup import (
-    MERSENNE, N_BANDS, N_PERM, ROWS_PER_BAND, _PERM_A, _PERM_B,
+    EMB_N_BANDS, EMB_PLANES_PER_BAND, MERSENNE, N_BANDS, N_PERM,
+    ROWS_PER_BAND, SIMHASH_CHUNK_BITS, SIMHASH_CHUNKS, _PERM_A, _PERM_B,
 )
+from yalder_spark.operators.textstats import WINNOW_WINDOW
 
 
 def spark_round(x: float, d: int) -> float:
@@ -154,8 +156,10 @@ def simhash_one(text: str) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
-SIMHASH_CHUNKS = 4
-SIMHASH_CHUNK_BITS = 16
+# SIMHASH_CHUNKS / SIMHASH_CHUNK_BITS / WINNOW_WINDOW / EMB_* are
+# imported from the PRODUCTION modules above — a deliberate change
+# there flows into the oracle (and trips golden regeneration) instead
+# of silently diverging from a stale literal here.
 
 
 def simhash_candidates_pure(docs: list[tuple[int, str]],
@@ -182,9 +186,6 @@ def simhash_candidates_pure(docs: list[tuple[int, str]],
         ham = bin((fps[a] ^ fps[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
         out.append((a, b, ham))
     return out
-
-
-WINNOW_WINDOW = 8
 
 
 def winnow_fingerprint_one(text: str) -> tuple[list[int], int]:
@@ -272,10 +273,6 @@ def ivf_topk_pure(rows: list[tuple[int, list]], query: list[float], k: int = 10,
             scored.append((vid, cosine_to_query_pure(vec, query)))
     scored.sort(key=lambda t: (-t[1], t[0]))
     return scored[:k]
-
-
-EMB_N_BANDS = 8
-EMB_PLANES_PER_BAND = 12
 
 
 def embedding_neardup_pure(rows: list[tuple[int, list]],
