@@ -5,18 +5,11 @@ the per-lang token histogram (x5)."""
 import hashlib
 
 import pytest
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="module")
-def spark():
-    s = (SparkSession.builder.master("local[4]")
-         .config("spark.sql.shuffle.partitions", "4")
-         .config("spark.sql.session.timeZone", "UTC")
-         .appName("curation-ops-tests").getOrCreate())
-    yield s
 
 
 # ---------------------------------------------------------------- d6

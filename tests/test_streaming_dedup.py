@@ -6,18 +6,11 @@ import os
 
 import pandas as pd
 import pytest
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import functions as F
 
 from yalder_spark.fixtures.gen import gen_repos, repos_input
 
 
-@pytest.fixture(scope="module")
-def spark():
-    s = (SparkSession.builder.master("local[4]")
-         .config("spark.sql.shuffle.partitions", "4")
-         .config("spark.sql.session.timeZone", "UTC")
-         .appName("streaming-dedup-tests").getOrCreate())
-    yield s
 
 
 def _input_with_dups(n=120, n_dup=12):

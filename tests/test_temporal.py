@@ -5,18 +5,11 @@ nested-loop trap."""
 
 import pandas as pd
 import pytest
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="module")
-def spark():
-    s = (SparkSession.builder.master("local[4]")
-         .config("spark.sql.shuffle.partitions", "4")
-         .config("spark.sql.session.timeZone", "UTC")
-         .appName("temporal-tests").getOrCreate())
-    yield s
 
 
 def _events(spark, sf=SF):
