@@ -35,23 +35,11 @@ def _models():
     if os.path.isdir(mp_) and os.path.isdir(pp_):
         return LanguageModel.load(mp_), LanguageModel.load(pp_)
 
-    import pandas as pd
+    # artifact-less fallback: the SHARED frozen recipe (same module the
+    # golden freezer uses, so the two can never drift apart)
+    from yalder_spark.oracle.fixture_models import fixture_language_models
 
-    from yalder_spark.fixtures.gen import gen_corpus, gen_ppl_corpus
-    from yalder_spark.oracle.pure_detector import train_oracle_model
-
-    corpus = gen_corpus(n_per_lang=600, seed=42)
-    train = corpus[corpus["split"] == "train"]
-    om = train_oracle_model(list(zip(train["lang"], train["text"])))
-    rows = [(l, h, lp) for l, per in om.items() for h, lp in per.items()]
-    model = LanguageModel.from_pandas(
-        pd.DataFrame(rows, columns=["lang", "ngram_hash", "log_prob"]))
-    pm = train_oracle_model(
-        [("__quality__", t) for t in gen_ppl_corpus(seed=42)])
-    rows = [(l, h, lp) for l, per in pm.items() for h, lp in per.items()]
-    ppl = LanguageModel.from_pandas(
-        pd.DataFrame(rows, columns=["lang", "ngram_hash", "log_prob"]))
-    return model, ppl
+    return fixture_language_models()
 
 
 def _documents_as_repo_table(spark: SparkSession, sf_dir: str) -> DataFrame:

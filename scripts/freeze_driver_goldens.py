@@ -33,10 +33,9 @@ import pyarrow.parquet as pq
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from yalder_spark.fixtures.gen import gen_corpus, gen_ppl_corpus  # noqa: E402
 from yalder_spark.functions.ngram import ALPHA, ngram_hashes_one  # noqa: E402
 from yalder_spark.oracle.pure_detector import (  # noqa: E402
-    detect_one, filter_one, train_oracle_model,
+    detect_one, filter_one,
 )
 from yalder_spark.oracle import pure_ops as P  # noqa: E402
 
@@ -55,12 +54,11 @@ def _embs() -> list[tuple[int, list[float]]]:
 
 
 def _models():
-    corpus = gen_corpus(n_per_lang=600, seed=42)
-    train = corpus[corpus["split"] == "train"]
-    model = train_oracle_model(list(zip(train["lang"], train["text"])))
-    ppl = train_oracle_model(
-        [("__quality__", t) for t in gen_ppl_corpus(seed=42)])
-    return model, ppl
+    # the SHARED frozen recipe (same module as __spark_entry__'s
+    # fallback, so goldens and the entry models can never drift)
+    from yalder_spark.oracle.fixture_models import fixture_oracle_models
+
+    return fixture_oracle_models()
 
 
 QUERY_VECTOR = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
@@ -94,7 +92,11 @@ def g_q1_perplexity(docs, model, ppl) -> pd.DataFrame:
 
 
 def g_t2_ngram_counts(docs, model, ppl) -> pd.DataFrame:
-    counts = P.ngram_counts_pure(list(zip(docs["lang"], docs["text"])))
+    # same null-lang contract as trainer.explode_ngram_hashes (which
+    # filters lang IS NOT NULL): the golden must not gain (None, hash)
+    # rows the Spark query drops at the scan
+    labeled = docs[docs["lang"].notna()]
+    counts = P.ngram_counts_pure(list(zip(labeled["lang"], labeled["text"])))
     rows = [(lang, h, c) for (lang, h), c in counts.items()]
     rows.sort()
     return pd.DataFrame(rows, columns=["lang", "ngram_hash", "cnt"])

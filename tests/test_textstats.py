@@ -242,3 +242,11 @@ def test_stateful_sessionization(spark):
     a = got.groupby("user_id")["n_events"].sum().sort_index()
     b = closed_ref.groupby("user_id")["n_events"].sum().sort_index()
     assert a.reindex(b.index).fillna(0).astype(int).equals(b.astype(int))
+
+
+def test_langcodes_script_region_and_unknown_multipart():
+    from yalder_spark.functions.langcodes import normalize_lang
+
+    assert normalize_lang("zh-Hans-CN") == "zh-Hans"  # script survives region
+    assert normalize_lang("xyz-US") == "xyz-us"  # unknown base: pass through
+    assert normalize_lang("de-AT-1996") == "de"

@@ -34,9 +34,18 @@ def normalize_lang(code: str | None) -> str:
         return "und"
     if c in _SCRIPT_VARIANTS:
         return _SCRIPT_VARIANTS[c]
-    base = c.split("-", 1)[0]
+    parts = c.split("-")
+    if "-".join(parts[:2]) in _SCRIPT_VARIANTS:
+        # script + region (zh-hans-cn): canonical script variant wins,
+        # consistently with the bare script form
+        return _SCRIPT_VARIANTS["-".join(parts[:2])]
+    base = parts[0]
     if len(base) == 3 and base in _ISO_639_2_TO_1:
         return _ISO_639_2_TO_1[base]
-    # region subtags (en-US) normalize to the base language; unknown
-    # multi-part tags pass through lowercased
-    return base if len(base) in (2, 3) else c
+    if len(base) == 2:
+        # region/variant subtags (en-US, de-AT-1996) -> base language
+        return base
+    if len(base) == 3 and len(parts) == 1:
+        return base  # bare unknown 639-2-shaped code passes through
+    # unknown multi-part tags pass through lowercased, whole
+    return c

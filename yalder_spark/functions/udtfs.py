@@ -20,6 +20,11 @@ from pyspark.sql.functions import udtf
 
 _TRIM = re.compile(r"^\s+|\s+$")
 _SENT_BREAK = re.compile(r"[.!?]+")
+# EXPLICIT whitespace class == DuckDB/RE2 \s (no \x0B, no Unicode
+# spaces): Python str.split() folds Unicode whitespace the oracle's
+# regexp_split_to_array('\s+') does not — same cross-dialect trap as
+# Java-vs-RE2 \s (see textstats.ws_tokens)
+_WS_RUN = re.compile(r"[ \t\n\f\r]+")
 
 
 @udtf(returnType="sent_idx bigint, sentence string")
@@ -47,8 +52,8 @@ class WordFreqs:
         if text is None:
             return
         counts: dict[str, int] = {}
-        for w in text.split():
-            if len(w) >= min_len:
+        for w in _WS_RUN.split(text):
+            if w and len(w) >= min_len:
                 counts[w] = counts.get(w, 0) + 1
         for w in sorted(counts):
             yield w, counts[w]

@@ -351,6 +351,7 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     # hamming distance via bit_count(xor)
     return pairs.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        .cast("long")  # driver contract: integer outputs are BIGINT
     ).select("id_a", "id_b", "hamming")
 
 

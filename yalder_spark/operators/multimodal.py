@@ -178,7 +178,7 @@ def frame_sample(df: DataFrame, every_ms: int = 5000) -> DataFrame:
             "media_id",
             F.explode(F.sequence(
                 F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms)
-            )).alias("frame_ts_ms"),
+            ).cast("array<long>")).alias("frame_ts_ms"),
         )
         .withColumn("frame_decoded", F.lit(False))  # real decode: NotImplemented
     )

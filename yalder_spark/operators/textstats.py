@@ -31,8 +31,12 @@ def ws_tokens(text_col: str):
     """The FROZEN x1 whitespace-token rule, single source of truth for
     token_count / token_histogram / packing.chunk_documents (and the
     matching DuckDB oracles): -> (token_array, token_count) column pair
-    over split(trim(text), '\\s+') with the empty-text guard."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    over split(trim(text), '[ \\t\\n\\f\\r]+') with the empty-text
+    guard.  The class is EXPLICIT, not \\s: Java's \\s includes
+    vertical tab U+000B, DuckDB/RE2's does not — '\\s' on both sides
+    silently diverges on a document containing \\x0B (same class of
+    cross-dialect trap as the round-2 h1/RE2 incident)."""
+    toks = F.split(F.trim(F.col(text_col)), "[ \\t\\n\\f\\r]+")
     n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
         .otherwise(F.size(toks))
     return toks, n
@@ -62,7 +66,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
     # NOTE frozen quirk: split(trim('')) yields [''] so an empty doc
     # reports n_words=1 — consistent with the x2 DuckDB oracle and the
     # goldens; changing it is a deliberate spec change (CLAUDE.md)
-    n_words = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_words = F.size(F.split(F.trim(F.col(text_col)), "[ \\t\\n\\f\\r]+"))
     alpha_ratio = alpha / F.greatest(length, F.lit(1))
     punct_ratio = punct / F.greatest(length, F.lit(1))
     len_score = F.least(length / F.lit(200.0), F.lit(1.0))

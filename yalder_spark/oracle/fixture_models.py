@@ -1,0 +1,45 @@
+"""THE frozen fixture-model training recipe — single source of truth.
+
+Both consumers MUST produce the same models or the goldens lie:
+``__spark_entry__._models`` (the artifact-less fallback the driver may
+hit) and ``scripts/freeze_driver_goldens.py`` (which bakes these
+models into the frozen golden parquet).  Any change here is a
+deliberate spec change: rebuild artifacts AND regenerate goldens
+(scripts/build_artifacts.py + scripts/freeze_goldens.py +
+scripts/freeze_driver_goldens.py) in the same commit.
+"""
+
+from __future__ import annotations
+
+N_PER_LANG = 600
+SEED = 42
+
+
+def fixture_oracle_models() -> tuple[dict, dict]:
+    """(langid_model, ppl_model) as pure-oracle dicts
+    (lang -> {hash -> log_prob})."""
+    from yalder_spark.fixtures.gen import gen_corpus, gen_ppl_corpus
+    from yalder_spark.oracle.pure_detector import train_oracle_model
+
+    corpus = gen_corpus(n_per_lang=N_PER_LANG, seed=SEED)
+    train = corpus[corpus["split"] == "train"]
+    model = train_oracle_model(list(zip(train["lang"], train["text"])))
+    ppl = train_oracle_model(
+        [("__quality__", t) for t in gen_ppl_corpus(seed=SEED)])
+    return model, ppl
+
+
+def fixture_language_models():
+    """The same two models as broadcastable LanguageModel artifacts."""
+    import pandas as pd
+
+    from yalder_spark.operators.model import LanguageModel
+
+    def to_lm(m: dict) -> LanguageModel:
+        rows = [(lang, h, lp) for lang, per in m.items()
+                for h, lp in per.items()]
+        return LanguageModel.from_pandas(
+            pd.DataFrame(rows, columns=["lang", "ngram_hash", "log_prob"]))
+
+    model, ppl = fixture_oracle_models()
+    return to_lm(model), to_lm(ppl)

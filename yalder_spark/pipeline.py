@@ -110,6 +110,10 @@ def _dedup_survivors(df: DataFrame, content_col: str,
     rule — one implementation).  Returns (survivors with a ``doc_id``
     column, id-only stage-count stats).  Only the two small id sets are
     cached; their counts double as the stats (zero extra text passes).
+    Cache lifetime: the id-set caches back the lazy ``survivors`` plan,
+    so they live until the session evicts them (same contract as
+    ``rollup_time``'s partials) — unpersisting before the caller's
+    final action would recompute the MinHash pass they exist to avoid.
 
     ``survivor_rule``: how verified near-dup pairs become drops.
     "pairs" (default, the frozen spec): drop ``id_b`` of every pair —
@@ -211,7 +215,8 @@ def run_curate_resumable(spark: SparkSession, input_path: str,
                          n_buckets: int = DEFAULT_BUCKETS,
                          neardup_threshold: float = 0.85,
                          content_col: str = "content",
-                         survivor_rule: str = "pairs") -> dict:
+                         survivor_rule: str = "pairs",
+                         input_format: str = "parquet") -> dict:
     """Resumable curation job: the dedup stages are GLOBAL and
     deterministic (content-addressed ids, frozen MinHash permutations),
     so on resume they are simply recomputed — cheap relative to the
@@ -224,7 +229,7 @@ def run_curate_resumable(spark: SparkSession, input_path: str,
     returned report carries the dedup stage counts; per-bucket metrics
     cover the buckets THIS run committed (same contract as run_filter —
     a resume reports only what it resumed)."""
-    df = spark.read.parquet(input_path)
+    df = yio.read_source(spark, input_path, input_format)
     survivors, dedup_stats = _dedup_survivors(df, content_col,
                                               neardup_threshold,
                                               survivor_rule)

@@ -40,6 +40,11 @@ def dedup_stream(spark: SparkSession, input_glob: str, schema=None):
     computed JVM-side before the stateful operator."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if schema is None:
+        # infer from the files present at start (readStream itself
+        # rejects schema=None); new files must match, standard contract
+        schema = spark.read.parquet(input_glob).schema
+
     def fn(key, pdfs, state: GroupState):
         (sha,) = key
         if state.exists:
