@@ -158,8 +158,15 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     """Exact 4-gram-shingle-set Jaccard for candidate pairs: explode
     DISTINCT shingles (set semantics), join on shingle, count
     intersections — only candidate docs' shingles shuffle."""
-    pairs = pairs.distinct()  # duplicate pair rows would double-count
-    # intersections through the two joins below (jaccard could exceed 1)
+    # cache the two small reused relations: ``pairs`` (24-byte id
+    # rows) feeds THREE consumers and ``sh`` (candidate shingles) two —
+    # uncached, each consumer re-runs the full LSH banding / n-gram
+    # hashing lineage (measured 3x the whole verify cost at sf0.1).
+    # Sizes are bounded by the CANDIDATE fraction, not the corpus, so
+    # this holds at scale (cf. the no-content-cache rule: these carry
+    # ids and 8-byte shingle hashes, never text).
+    pairs = pairs.distinct().cache()  # distinct: duplicate pair rows
+    # would double-count intersections below (jaccard could exceed 1)
     cand_ids = (pairs.select(F.col("id_a").alias(id_col))
                 .union(pairs.select("id_b")).distinct())
     docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
@@ -171,7 +178,8 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[u["d"].to_numpy()],
                                 "shingle": u["h"].to_numpy()})
 
-    sh = docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, shingle long")
+    sh = (docs.select(id_col, text_col)
+          .mapInPandas(gen, f"{id_col} long, shingle long").cache())
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     bb = sh.select(F.col(id_col).alias("id_b"), "shingle")
