@@ -421,7 +421,8 @@ def _q_s3_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("value_cents")))
     return (rollup_time(ev, "ts_us", [HOUR, DAY], ["event_type"],
                         {"n": F.count("*"),
-                         "cents": F.sum("value_cents")})
+                         "cents": F.sum("value_cents")},
+                        reagg={"n": "sum", "cents": "sum"})
             .orderBy("level_us", "bucket_us", "event_type"))
 
 
@@ -584,23 +585,27 @@ def _q_q1_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from yalder_spark.operators import relational as R
 
+    # ORDER MATTERS: the round-3 driver checked only the FIRST 50
+    # registered queries, so the dict is ordered least-recently-
+    # driver-verified FIRST — the r3-unchecked tail (s2, the once-red
+    # cell, then s1/m*/e*/x4) leads, long-stable relational rows
+    # trail.  tests/test_entry_contract.py pins that every query
+    # without a green row in the latest CORRECTNESS file sits inside
+    # the first-50 prefix.
     return {
-        # relational (SURVEY §2.E)
-        "r1_filter_project": R.q_filter_project,
-        "r2_agg": R.q_agg,
-        "r3_topk_window": R.q_topk_window,
-        "r4_broadcast_join": R.q_broadcast_join,
-        "r4b_join_agg": R.q_join_agg,
-        "r5_anti_join": R.q_anti_join,
-        "r5b_semi_join": R.q_semi_join,
-        "r5c_anti_join_pred": R.q_anti_join_pred,
-        "r6_sort_limit": R.q_sort_limit,
-        "r7_union": R.q_union,
-        "r9_rollup": R.q_rollup,
-        "r10_pivot": R.q_pivot,
-        "r11_having_scalar": R.q_having_scalar,
-        "r12_cube": R.q_cube,
-        "r15_lag_delta": R.q_lag_delta,
+        # r3-unchecked (driver window cut at 50): streaming-shaped
+        # batch queries (stream equivalence pytested), multimodal,
+        # ANN, repetition
+        "s2_sessionize": _q_ev_sessionize,
+        "s1_events_windowed": _q_ev_windowed,
+        "m1_image_features": _q_m_image_features,
+        "m2_frame_sample": _q_m2_frame_sample,
+        "m3_audio_features": _q_m3_audio_features,
+        "e1_ann_bruteforce": _q_e_ann_bruteforce,
+        "e2_ann_lsh": _q_e_ann_lsh,
+        "e3_ann_ivf": _q_e_ann_ivf,
+        "e4_embedding_neardup": _q_e_neardup,
+        "x4_repetition": _q_t_repetition,
         # detection dataflow (SURVEY §2.A)
         "h1_normalize": _q_h1_normalize,
         "h2_ngram_count": _q_h2_ngram_count,
@@ -627,30 +632,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_jaccard_selfjoin": _q_d5_jaccard,
         "d6_neardup_clusters": _q_d6_neardup_clusters,
         "d7_stratified_sample": _q_d7_stratified_sample,
-        "x5_token_histogram": _q_x5_token_histogram,
-        "r13_asof_join": _q_r13_asof_join,
-        "r14_range_join": _q_r14_range_join,
-        "s3_time_rollup": _q_s3_time_rollup,
-        "x6_length_quantiles": _q_x6_length_quantiles,
-        "x7_pack_sequences": _q_x7_pack_sequences,
-        "x8_chunk_documents": _q_x8_chunk_documents,
         "d8_decontaminate": _q_d8_decontaminate,
         "d9_balanced_sample": _q_d9_balanced_sample,
-        "x9_word_freqs": _q_x9_word_freqs,
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
         "x3_langid_stopword": _q_t_langid_stopword,
-        "x4_repetition": _q_t_repetition,
-        "e1_ann_bruteforce": _q_e_ann_bruteforce,
-        "e2_ann_lsh": _q_e_ann_lsh,
-        "e3_ann_ivf": _q_e_ann_ivf,
-        "e4_embedding_neardup": _q_e_neardup,
-        "m1_image_features": _q_m_image_features,
-        "m2_frame_sample": _q_m2_frame_sample,
-        "m3_audio_features": _q_m3_audio_features,
-        # streaming-shaped batch queries (stream equivalence pytested)
-        "s1_events_windowed": _q_ev_windowed,
-        "s2_sessionize": _q_ev_sessionize,
+        "x5_token_histogram": _q_x5_token_histogram,
+        "x6_length_quantiles": _q_x6_length_quantiles,
+        "x7_pack_sequences": _q_x7_pack_sequences,
+        "x8_chunk_documents": _q_x8_chunk_documents,
+        "x9_word_freqs": _q_x9_word_freqs,
+        "r13_asof_join": _q_r13_asof_join,
+        "r14_range_join": _q_r14_range_join,
+        "s3_time_rollup": _q_s3_time_rollup,
+        # relational (SURVEY §2.E) — stable since r1, trail the window
+        "r1_filter_project": R.q_filter_project,
+        "r2_agg": R.q_agg,
+        "r3_topk_window": R.q_topk_window,
+        "r4_broadcast_join": R.q_broadcast_join,
+        "r4b_join_agg": R.q_join_agg,
+        "r5_anti_join": R.q_anti_join,
+        "r5b_semi_join": R.q_semi_join,
+        "r5c_anti_join_pred": R.q_anti_join_pred,
+        "r6_sort_limit": R.q_sort_limit,
+        "r7_union": R.q_union,
+        "r9_rollup": R.q_rollup,
+        "r10_pivot": R.q_pivot,
+        "r11_having_scalar": R.q_having_scalar,
+        "r12_cube": R.q_cube,
+        "r15_lag_delta": R.q_lag_delta,
     }
 
 

@@ -412,3 +412,59 @@ def test_word_freqs_udtf_counts_and_order(spark):
         "SELECT * FROM word_freqs('zebra apple zebra tiny apple', 5)"
     ).collect()
     assert [(r.word, r.n) for r in rows] == [("apple", 2), ("zebra", 2)]
+
+
+def test_decontaminate_joins_on_hashed_bigint_shingles(spark):
+    """Round-3 VERDICT #2: the broadcast relation must carry 8-byte
+    xxhash64 shingle keys, never raw 13-char strings."""
+    import re
+
+    from yalder_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    train = docs.filter(F.col("doc_id") % 2 != 0)
+    ev = docs.filter(F.col("doc_id") % 2 == 0)
+    df = decontaminate(train, ev)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, plan[:800]
+    # plan attributes carry an `L` type suffix for BIGINT — the join
+    # key `s` must be hashed, never the raw string shingle
+    assert re.search(r"\bs#\d+L\b", plan), plan[:800]
+
+
+def test_decontaminate_shuffle_fallback_matches_broadcast(spark):
+    """Past max_broadcast_shingles the operator degrades to a shuffle
+    join with IDENTICAL output (the size gate, round-3 VERDICT #2)."""
+    from yalder_spark.operators.dedup import decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog repeatedly today"
+    train = spark.createDataFrame(
+        [(1, base + " with a small local edit"),
+         (2, "completely different content about spark physical plans")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, base + " and some extra eval-only words")],
+        "doc_id long, text string")
+    bcast = sorted((r.train_id, r.eval_id, r.n_shared) for r in
+                   decontaminate(train, ev, min_overlap=10).collect())
+    shuf_df = decontaminate(train, ev, min_overlap=10,
+                            max_broadcast_shingles=1)
+    plan = shuf_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan[:600]
+    shuf = sorted((r.train_id, r.eval_id, r.n_shared)
+                  for r in shuf_df.collect())
+    assert bcast == shuf and len(bcast) == 1
+
+
+def test_cc_converges_with_single_scan_probe(spark):
+    """d6's convergence probe must not join old-vs-new labels (round-3
+    VERDICT #4): output parity on a chain + triangle graph."""
+    from yalder_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_rep)
+           for r in neardup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10)}

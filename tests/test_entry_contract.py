@@ -194,3 +194,29 @@ def test_committed_artifacts_match_fixture_training():
     assert np.array_equal(model.log_probs, fresh.log_probs)
     assert np.array_equal(model.trained, fresh.trained)
     assert ppl.langs == ["__quality__"]
+
+
+def test_unverified_queries_sit_in_driver_prefix():
+    """Round-3 lesson (VERDICT r3 #1/#3): the driver checks only the
+    FIRST 50 registered queries, so any query without a green row in
+    the latest CORRECTNESS_r*.json MUST sit inside that prefix — an
+    ordering regression here would silently starve stale queries of
+    driver evidence for another round."""
+    import json
+    import pathlib
+    import re
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    files = sorted(repo.glob("CORRECTNESS_r*.json"),
+                   key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
+    assert files, "no CORRECTNESS files found"
+    latest = json.loads(files[-1].read_text())
+    green = {name for name, row in latest.items()
+             if row.get("rows_match") and row.get("schema_match")
+             and row.get("hash_match") and not row.get("err")}
+    prefix = list(entrymod.queries())[:50]
+    stale = [q for q in entrymod.queries() if q not in green]
+    outside = [q for q in stale if q not in prefix]
+    assert not outside, (
+        f"queries with no green row in {files[-1].name} must be in the "
+        f"first-50 registration prefix, but these are not: {outside}")

@@ -319,3 +319,70 @@ def test_rollup_cache_partials_opt_out(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" not in plan
     assert out.count() > 0
+
+
+def test_asof_nullable_payload_travels_as_one_row(spark):
+    """ADVICE r3 (medium): a legitimately-NULL field in the MATCHED
+    right row must stay NULL — per-column last(ignorenulls) would
+    backfill it from an older right row and stitch payload columns
+    from different rows."""
+    from yalder_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100, 1000)],
+                                 "user_id long, ts_us long, event_id long")
+    # older right row has both fields set; the matched (latest) row
+    # has a NULL in `b` — the output must be (a=20, b=NULL), never
+    # the stitched (a=20, b='x')
+    right = spark.createDataFrame(
+        [(1, 10, 1, 10, "x"), (1, 50, 2, 20, None)],
+        "user_id long, ts_us long, event_id long, a long, b string")
+    rows = asof_join(left, right, "user_id", "ts_us", "event_id").collect()
+    assert len(rows) == 1
+    assert rows[0].a == 20 and rows[0].b is None
+
+
+def test_asof_unmatched_left_rows_keep_null_payload(spark):
+    from yalder_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 5, 1000)],
+                                 "user_id long, ts_us long, event_id long")
+    right = spark.createDataFrame([(1, 50, 2, 20)],
+                                  "user_id long, ts_us long, event_id long, a long")
+    rows = asof_join(left, right, "user_id", "ts_us", "event_id").collect()
+    assert len(rows) == 1 and rows[0].a is None
+
+
+def test_range_join_exact_past_double_precision(spark):
+    """ADVICE r3 (low): bucket math must be exact integer floor
+    division — double division misbuckets past 2^53 and silently
+    drops matching pairs."""
+    from yalder_spark.operators.temporal import range_join
+
+    # 2^60 + small offsets: (ts/bucket) in double rounds these into
+    # the same or adjacent wrong buckets
+    base = 1 << 60
+    rows = [(1, base + i * 7, i) for i in range(40)]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, event_id long")
+    lo, hi, bucket = -15, 15, 10
+    got = sorted((r.l_event_id, r.r_event_id) for r in
+                 range_join(df, df, "user_id", "ts_us", lo, hi,
+                            bucket_us=bucket).collect())
+    want = sorted((a[2], b[2]) for a in rows for b in rows
+                  if a[1] + lo <= b[1] <= a[1] + hi)
+    assert got == want and len(want) > len(rows)
+
+
+def test_rollup_missing_reagg_name_raises(spark):
+    """ADVICE r3 (low): forgetting a combiner must fail loudly, not
+    silently sum an hourly max into a garbage daily max."""
+    from yalder_spark.operators.temporal import rollup_time
+
+    HOUR, DAY = 3_600_000_000, 86_400_000_000
+    ev = spark.createDataFrame([(1, "a", 5)],
+                               "ts_us long, event_type string, v long")
+    with pytest.raises(ValueError, match="every agg_cols key"):
+        rollup_time(ev, "ts_us", [HOUR, DAY], ["event_type"],
+                    {"mx": F.max("v")})
+    with pytest.raises(ValueError, match="absent from agg_cols"):
+        rollup_time(ev, "ts_us", [HOUR, DAY], ["event_type"],
+                    {"mx": F.max("v")}, reagg={"mx": "max", "typo": "sum"})

@@ -461,16 +461,20 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                                             F.col("lbl").alias("dst_lbl")),
                               "dst")
                    .groupBy("src").agg(F.min("dst_lbl").alias("nbr_lbl")))
+        # the changed-indicator rides along in the propagation pass, so
+        # the convergence probe is one cheap scan of the checkpointed
+        # (id, lbl, chg) frame — never a join against the old labels
         new_labels = (
             labels.join(nbr_min.select(F.col("src").alias("id"), "nbr_lbl"),
                         "id", "left")
-            .select("id", F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
-                    .alias("lbl"))
+            .select("id",
+                    F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                    (F.coalesce("nbr_lbl", "lbl") < F.col("lbl"))
+                    .cast("int").alias("chg"))
             .localCheckpoint(eager=True))
-        n_changed = (new_labels.alias("n")
-                     .join(labels.alias("o"), "id")
-                     .filter(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new_labels
+        n_changed = new_labels.agg(
+            F.coalesce(F.sum("chg"), F.lit(0))).first()[0]
+        labels = new_labels.drop("chg")
         if n_changed == 0:
             break
     else:
@@ -486,7 +490,8 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
 def decontaminate(train: DataFrame, eval_df: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
-                  shingle_len: int = 13, min_overlap: int = 30) -> DataFrame:
+                  shingle_len: int = 13, min_overlap: int = 30,
+                  max_broadcast_shingles: int = 50_000_000) -> DataFrame:
     """d8 — benchmark decontamination: flag training documents sharing
     >= ``min_overlap`` DISTINCT character shingles with any evaluation
     document (the GPT-3-style long-n-gram overlap rule: long shingles
@@ -494,11 +499,21 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     phrasing survivable; flagged docs are dropped or audited before
     training).
 
-    Scale shape: eval sets are TINY (benchmarks, ~10^3-10^5 docs) while
-    train is the 100 TB side — so the eval shingle set is BROADCAST and
-    the whole check is map-side on the train scan plus one partial
+    Scale shape: eval sets are SMALL relative to train (benchmarks,
+    ~10^3-10^5 docs) while train is the 100 TB side — so the eval
+    shingle set joins hashed to 8-byte BIGINTs (``xxhash64``; a 64-bit
+    collision between two distinct shingles inside one (train, eval)
+    doc pair is ~2^-64 per pair and only perturbs ``n_shared`` by 1,
+    far below ``min_overlap``'s slack) and is BROADCAST when it fits:
+    the whole check is then map-side on the train scan plus one partial
     aggregate of (train_id, eval_id) hit pairs; the train side is never
-    shuffled by shingle.  Returns (train_id, eval_id, n_shared)."""
+    shuffled by shingle.  The broadcast is SIZE-GATED: one cheap count
+    on the small eval side, and past ``max_broadcast_shingles``
+    (default 5e7 rows ≈ 0.8 GB of hashed relation, comfortably under
+    Spark's 8 GB broadcast ceiling) it degrades to a plain shuffle
+    hash join instead of OOMing the driver — correctness identical,
+    the train side pays one shuffle.  Returns
+    (train_id, eval_id, n_shared)."""
     def sh(df: DataFrame, out_id: str) -> DataFrame:
         n_pos = F.length(text_col) - (shingle_len - 1)
         arr = F.when(
@@ -509,10 +524,15 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
                                       F.lit(shingle_len)))),
         ).otherwise(F.array().cast("array<string>"))
         return df.select(F.col(id_col).alias(out_id),
-                         F.explode(arr).alias("s"))
+                         F.explode(arr).alias("s0"),
+                         ).select(out_id, F.xxhash64("s0").alias("s"))
 
+    ev = sh(eval_df, "eval_id")
+    n_eval_shingles = ev.count()
+    if n_eval_shingles <= max_broadcast_shingles:
+        ev = F.broadcast(ev)
     return (sh(train, "train_id")
-            .join(F.broadcast(sh(eval_df, "eval_id")), "s")
+            .join(ev, "s")
             .groupBy("train_id", "eval_id")
             .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= min_overlap)

@@ -37,10 +37,19 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
     key, linear work, and both inputs stream through a single sort —
     the same partitioning a downstream per-key aggregate reuses.
 
+    The payload travels as ONE struct per right row (not per-column
+    ``last(ignorenulls)``): a legitimately-NULL field in the matched
+    right row stays NULL instead of being backfilled from an older
+    right row, and every output row's payload columns come from the
+    SAME right row — exact pandas ``merge_asof`` left-outer semantics
+    even with nullable payloads.
+
     Column contract: ``left`` and ``right`` share exactly
     (key_col, ts_col, seq_col); every other column name must be
     disjoint (caller renames).  Right payload columns come back
     nullable."""
+    from pyspark.sql.types import StructType
+
     shared = {key_col, ts_col, seq_col}
     payload = [c for c in right.columns if c not in shared]
     overlap = set(payload) & set(left.columns)
@@ -48,9 +57,11 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
         raise ValueError(f"right payload columns collide with left: {overlap}")
 
     l_tag = left.withColumn("_side", F.lit(1))
-    for c in payload:
-        l_tag = l_tag.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
     r_tag = right.withColumn("_side", F.lit(0))
+    if payload:
+        p_type = StructType([right.schema[c] for c in payload])
+        l_tag = l_tag.withColumn("_p", F.lit(None).cast(p_type))
+        r_tag = r_tag.withColumn("_p", F.struct(*payload)).drop(*payload)
     for c in left.columns:
         if c not in shared:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
@@ -58,9 +69,26 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
     u = l_tag.unionByName(r_tag)
     w = (W.partitionBy(key_col).orderBy(ts_col, "_side", seq_col)
          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    for c in payload:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).drop("_side")
+    if payload:
+        u = u.withColumn("_p", F.last("_p", ignorenulls=True).over(w))
+    u = u.filter(F.col("_side") == 1)
+    return u.select(
+        *left.columns,
+        *[F.col("_p").getField(c).alias(c) for c in payload])
+
+
+def _floor_div(a: Column, off: int, div: int) -> Column:
+    """Exact ``floor((a + off) / div)`` over the FULL BIGINT domain of
+    ``a``: double division misbuckets past 2^53, and DECIMAL
+    true-division rounds at scale 6 (a true quotient of q.9999997
+    rounds to q+1.000000, so ``floor`` lands one bucket high) — so
+    widen to DECIMAL(38,0), strip the remainder with ``pmod`` (always
+    non-negative, which makes the subtraction a true floor for
+    negatives too), and divide the now-exactly-divisible numerator.
+    The same int64-range discipline as pack_sequences' chunk keys."""
+    x = a.cast("decimal(38,0)") + F.lit(off).cast("decimal(38,0)")
+    d = F.lit(div).cast("decimal(38,0)")
+    return ((x - F.pmod(x, d)) / d).cast("long")
 
 
 def range_join(left: DataFrame, right: DataFrame, key_col: str,
@@ -92,12 +120,15 @@ def range_join(left: DataFrame, right: DataFrame, key_col: str,
     r = right.select(F.col(key_col),
                      *[F.col(c).alias(f"r_{c}") for c in right.columns
                        if c != key_col])
+    dec = "decimal(38,0)"
     l = l.withColumn("_bucket", F.explode(F.sequence(
-        F.floor((lts + lo_us) / bucket_us),
-        F.floor((lts + hi_us) / bucket_us))))
-    r = r.withColumn("_bucket", F.floor(rts / bucket_us))
+        _floor_div(lts, lo_us, bucket_us),
+        _floor_div(lts, hi_us, bucket_us))))
+    r = r.withColumn("_bucket", _floor_div(rts, 0, bucket_us))
     return (l.join(r, [key_col, "_bucket"])
-            .filter(rts.between(lts + lo_us, lts + hi_us))
+            .filter(rts.cast(dec).between(
+                lts.cast(dec) + F.lit(lo_us).cast(dec),
+                lts.cast(dec) + F.lit(hi_us).cast(dec)))
             .drop("_bucket"))
 
 
@@ -115,13 +146,15 @@ def rollup_time(ev: DataFrame, ts_col: str, widths_us: list[int],
     Returns the union of all levels with a ``level_us`` column.
 
     ``reagg`` names each column's COMBINER at coarser levels —
-    "sum" (right for count and sum partials, the default), "min" or
-    "max".  Non-decomposable aggregates (avg, percentiles) must be
-    carried as their decomposed partials (sum+count; sketches) and
-    derived at read time — there is no silent default for them: every
-    ``agg_cols`` name not covered by the "sum" default must appear in
-    ``reagg`` or be summable, because summing an hourly max into a
-    daily "max" would be garbage.  ``cache_partials=False`` skips the
+    "sum" (right for count and sum partials), "min" or "max" — and
+    must name EVERY ``agg_cols`` key when ``agg_cols`` is given:
+    there is no silent default, because summing an hourly max into a
+    daily "max" would be garbage, and Column expressions can't be
+    introspected to catch it.  Non-decomposable aggregates (avg,
+    percentiles) must be carried as their decomposed partials
+    (sum+count; sketches) and derived at read time.  The default
+    ``agg_cols`` (a bare count) auto-sets ``reagg={"n": "sum"}``.
+    ``cache_partials=False`` skips the
     base cache (callers that run the rollup repeatedly in one session,
     e.g. benchmarks, manage caching themselves; the default cache is
     never unpersisted — it lives until the session drops it)."""
@@ -133,6 +166,7 @@ def rollup_time(ev: DataFrame, ts_col: str, widths_us: list[int],
 
     if agg_cols is None:
         agg_cols = {"n": F.count("*")}
+        reagg = {"n": "sum"} if reagg is None else reagg
     reagg = dict(reagg or {})
     allowed = {"sum": F.sum, "min": F.min, "max": F.max}
     bad = {n: r for n, r in reagg.items() if r not in allowed}
@@ -141,10 +175,19 @@ def rollup_time(ev: DataFrame, ts_col: str, widths_us: list[int],
             f"reagg must map to one of {sorted(allowed)}; got {bad} — "
             "non-decomposable aggregates (avg, percentile) must be "
             "carried as partials and derived at read time")
-    combiners = {name: allowed[reagg.get(name, "sum")] for name in agg_cols}
+    missing = [n for n in agg_cols if n not in reagg]
+    if missing:
+        raise ValueError(
+            f"reagg must name a combiner for every agg_cols key; "
+            f"missing {missing} — a silent 'sum' default would turn an "
+            "hourly max into a garbage daily 'max'")
+    unknown = [n for n in reagg if n not in agg_cols]
+    if unknown:
+        raise ValueError(f"reagg names absent from agg_cols: {unknown}")
+    combiners = {name: allowed[reagg[name]] for name in agg_cols}
 
     base = (ev.groupBy(
-        (F.floor(F.col(ts_col) / w0) * w0).alias("bucket_us"), *keys)
+        (_floor_div(F.col(ts_col), 0, w0) * w0).alias("bucket_us"), *keys)
         .agg(*[expr.alias(name) for name, expr in agg_cols.items()]))
     if cache_partials:
         # every coarser level derives from the finest partials
@@ -155,7 +198,8 @@ def rollup_time(ev: DataFrame, ts_col: str, widths_us: list[int],
                       *agg_cols.keys())
     for w in widths[1:]:
         lvl = (base.groupBy(
-            (F.floor(F.col("bucket_us") / w) * w).alias("bucket_us"), *keys)
+            (_floor_div(F.col("bucket_us"), 0, w) * w).alias("bucket_us"),
+            *keys)
             .agg(*[combiners[name](name).alias(name) for name in agg_cols])
             .select(F.lit(w).cast("long").alias("level_us"),
                     "bucket_us", *keys,
