@@ -243,6 +243,30 @@ def _q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(spark, sf_dir, gap_minutes=30)
 
 
+def _q_s4_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s4 — the STREAMING exact-dedup operator driven to completion on
+    the documents table (round-3 VERDICT #5: the one operator with no
+    oracle pair).  All input files exist at start, so the stream runs
+    ONE microbatch and the stateful first-seen rule reduces to the
+    batch min-doc_id survivor — expressible as the SQL window oracle
+    (row_number over sha256 order by doc_id = 1)."""
+    from yalder_spark.streaming.dedup_stream import dedup_stream_by_key
+
+    try:
+        spark.catalog.dropTempView("s4_dedup")
+    except Exception:
+        pass
+    q = dedup_stream_by_key(spark, sf_dir, "text", "doc_id",
+                            payload_cols=("lang",),
+                            query_name="s4_dedup",
+                            path_glob_filter="documents.parquet")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("s4_dedup").orderBy("content_sha256")
+
+
 def _q_m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.multimodal import frame_sample, synth_media
 
@@ -598,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN, repetition
         "s2_sessionize": _q_ev_sessionize,
         "s1_events_windowed": _q_ev_windowed,
+        "s4_dedup_stream": _q_s4_dedup_stream,
         "m1_image_features": _q_m_image_features,
         "m2_frame_sample": _q_m2_frame_sample,
         "m3_audio_features": _q_m3_audio_features,
@@ -1222,6 +1247,14 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "s4_dedup_stream": """
+            SELECT content_sha256, doc_id, lang FROM (
+              SELECT sha256(text) AS content_sha256, doc_id, lang,
+                     row_number() OVER (PARTITION BY sha256(text)
+                                        ORDER BY doc_id) AS rn
+              FROM documents) t
+            WHERE rn = 1 ORDER BY content_sha256
         """,
         "s2_sessionize": """
             WITH x AS (

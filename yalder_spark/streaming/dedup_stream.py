@@ -6,10 +6,11 @@ Custom stateful operator via ``applyInPandasWithState`` keyed on the
 content sha256: state is one marker per distinct hash; the first row
 seen for a hash is emitted, every later arrival (same batch or any
 later batch) is dropped.  Within a microbatch the winner is the min
-``xxhash64(repo, path, commit)`` doc id — the batch pipeline's doc
-identity — so a single-batch run reproduces batch ``exact_dedup``'s
-min-doc_id survivor rule ROW-identically (pinned by
-tests/test_streaming_dedup.py).
+doc id — the batch pipeline's survivor rule — so a single-batch run
+reproduces batch ``exact_dedup``'s min-doc_id survivor rule
+ROW-identically (pinned by tests/test_streaming_dedup.py; the
+``documents``-table form is oracle-paired as driver query
+``s4_dedup_stream``).
 
 Scale notes: state per key is a single byte-ish marker and the key is
 a 64-char hash — the state store grows with DISTINCT content, the
@@ -23,10 +24,48 @@ trade false drops for O(1) memory.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 _OUT_SCHEMA = ("content_sha256 string, repo string, path string, "
                "commit string, lang string, content string")
+
+
+def _start_first_seen(stream_df, min_col: str, out_struct: StructType,
+                      query_name: str):
+    """Shared stateful core: emit the min-``min_col`` row per
+    content_sha256 the first time the hash is seen; drop every later
+    arrival via a one-marker-per-hash state store."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_cols = [f.name for f in out_struct.fields]
+
+    def fn(key, pdfs, state: GroupState):
+        (sha,) = key
+        if state.exists:
+            return  # hash already emitted in an earlier batch
+        best = None
+        for pdf in pdfs:
+            head = pdf.loc[pdf[min_col].idxmin()]
+            if best is None or head[min_col] < best[min_col]:
+                best = head
+        state.update((True,))
+        row = {"content_sha256": sha}
+        for c in out_cols:
+            if c != "content_sha256":
+                row[c] = best[c]
+        yield pd.DataFrame([row])
+
+    out = (stream_df.groupBy("content_sha256")
+           .applyInPandasWithState(
+               fn,
+               outputStructType=out_struct,
+               stateStructType="seen boolean",
+               outputMode="append",
+               timeoutConf=GroupStateTimeout.NoTimeout,
+           ))
+    return (out.writeStream.outputMode("append")
+            .format("memory").queryName(query_name).start())
 
 
 def dedup_stream(spark: SparkSession, input_glob: str, schema=None):
@@ -38,40 +77,48 @@ def dedup_stream(spark: SparkSession, input_glob: str, schema=None):
     pipeline's exact-dedup stage (`pipeline._dedup_survivors`), so a
     single-batch run is row-identical to the batch path; the id is
     computed JVM-side before the stateful operator."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     if schema is None:
         # infer from the files present at start (readStream itself
         # rejects schema=None); new files must match, standard contract
         schema = spark.read.parquet(input_glob).schema
 
-    def fn(key, pdfs, state: GroupState):
-        (sha,) = key
-        if state.exists:
-            return  # hash already emitted in an earlier batch
-        best = None
-        for pdf in pdfs:
-            head = pdf.loc[pdf["_doc_id"].idxmin()]
-            if best is None or head["_doc_id"] < best["_doc_id"]:
-                best = head
-        state.update((True,))
-        yield pd.DataFrame([{
-            "content_sha256": sha,
-            "repo": best["repo"], "path": best["path"],
-            "commit": best["commit"], "lang": best["lang"],
-            "content": best["content"],
-        }])
-
     src = spark.readStream.schema(schema).parquet(input_glob)
-    out = (src.withColumn("content_sha256", F.sha2("content", 256))
-           .withColumn("_doc_id", F.xxhash64("repo", "path", "commit"))
-           .groupBy("content_sha256")
-           .applyInPandasWithState(
-               fn,
-               outputStructType=_OUT_SCHEMA,
-               stateStructType="seen boolean",
-               outputMode="append",
-               timeoutConf=GroupStateTimeout.NoTimeout,
-           ))
-    return (out.writeStream.outputMode("append")
-            .format("memory").queryName("deduped").start())
+    stream_df = (src.withColumn("content_sha256", F.sha2("content", 256))
+                 .withColumn("_doc_id", F.xxhash64("repo", "path", "commit")))
+    return _start_first_seen(stream_df, "_doc_id",
+                             StructType.fromDDL(_OUT_SCHEMA), "deduped")
+
+
+def dedup_stream_by_key(spark: SparkSession, input_glob: str,
+                        text_col: str, id_col: str,
+                        payload_cols: tuple[str, ...] = (),
+                        schema=None, query_name: str = "deduped",
+                        path_glob_filter: str | None = None):
+    """Generic keyed form of `dedup_stream` for tables that already
+    carry a document id (e.g. the driver's ``documents`` table):
+    first-seen per ``sha256(text_col)``, within-batch winner = min
+    ``id_col``, output (content_sha256, id, *payload) from the WINNING
+    row.  Identical semantics to the batch first-seen SQL window rule
+    (row_number() over sha256 order by id = 1), which is its driver
+    oracle pair.
+
+    ``path_glob_filter`` selects leaf files when ``input_glob`` is a
+    directory holding several tables — FileStreamSource requires a
+    DIRECTORY basePath, so a single-file table is streamed as its
+    parent dir plus a pathGlobFilter on the file name."""
+    def reader(r):
+        return (r.option("pathGlobFilter", path_glob_filter)
+                if path_glob_filter else r)
+
+    if schema is None:
+        schema = reader(spark.read).parquet(input_glob).schema
+    fields = {f.name: f for f in schema.fields}
+    out_struct = StructType(
+        [StructField("content_sha256", StringType(), True),
+         fields[id_col]] + [fields[c] for c in payload_cols])
+
+    src = reader(spark.readStream.schema(schema)).parquet(input_glob)
+    stream_df = (src.withColumn("content_sha256",
+                                F.sha2(F.col(text_col), 256))
+                 .select("content_sha256", id_col, *payload_cols))
+    return _start_first_seen(stream_df, id_col, out_struct, query_name)
