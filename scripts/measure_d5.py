@@ -1,0 +1,129 @@
+"""Quantify d5's (jaccard_selfjoin) blowup boundary at sf0.1-scale
+shingle cardinality — round-3 VERDICT #6 — and measure the PPJoin
+prefix filter's candidate reduction (#7).
+
+For each max_df: the EXACT number of candidate-pair rows the shingle
+equi-join would emit is sum_s C(df_s, 2) over surviving shingles —
+computable from the df histogram alone, no join needed, so the curve
+extends past the point where actually running the join would be
+silly.  For moderate max_df the join IS run both ways (baseline vs
+prefix_filter=True) to record distinct candidate pairs, wall time,
+and output parity.
+
+Writes BENCH/round4_d5.json.  Run alone (no concurrent Spark).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window as W, functions as F  # noqa: E402
+
+from yalder_spark.pipeline import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+
+
+def main():
+    spark = build_session("measure-d5", master=f"local[{CPUS}]",
+                          shuffle_partitions=CPUS)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    n_docs = docs.count()
+
+    # distinct 4-char shingles per doc, exploded — the d5 relation
+    n_pos = F.length("text") - 3
+    shingles = F.when(
+        n_pos >= 1,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.substring(F.col("text"), i, F.lit(4)))),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(F.col("doc_id").alias("id"),
+                     F.explode(shingles).alias("s"))
+    dfh = sh.groupBy("s").agg(F.count("*").alias("d")).cache()
+    n_exploded = sh.count()
+    n_distinct_shingles = dfh.count()
+
+    curve = []
+    for max_df in (20, 100, 500, 2000, 10**9):
+        row = dfh.filter(F.col("d") <= max_df).agg(
+            F.sum("d").alias("rows_after_cut"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("pair_rows"),
+        ).collect()[0]
+        curve.append({
+            "max_df": max_df if max_df < 10**9 else "inf",
+            "exploded_rows_after_cut": int(row.rows_after_cut or 0),
+            "join_pair_rows": int(row.pair_rows or 0),
+        })
+        print(curve[-1], flush=True)
+
+    from yalder_spark.operators.dedup import jaccard_selfjoin
+
+    runs = {}
+    for pf in (False, True):
+        t0 = time.monotonic()
+        out = jaccard_selfjoin(docs, threshold=0.8, max_df=100,
+                               prefix_filter=pf)
+        pairs = [(r.id_a, r.id_b, r.n_common, r.jaccard)
+                 for r in out.collect()]
+        runs[pf] = {"sec": round(time.monotonic() - t0, 3),
+                    "n_pairs": len(pairs),
+                    "pairs": sorted(pairs)}
+        print(pf, runs[pf]["sec"], runs[pf]["n_pairs"], flush=True)
+    assert runs[False]["pairs"] == runs[True]["pairs"], "parity violated"
+
+    # candidate pairs each path verifies (distinct, pre-threshold)
+    shd = (sh.withColumn("df_cnt", F.count("*").over(W.partitionBy("s")))
+           .filter(F.col("df_cnt") <= 100))
+    base_cand = (shd.alias("a").join(
+        shd.alias("b"),
+        (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id"), F.col("b.id")).distinct().count())
+    thr = 0.8
+    w_doc = W.partitionBy("id")
+    pref = (shd.withColumn("pos", F.row_number().over(
+                w_doc.orderBy("df_cnt", "s")))
+            .withColumn("sz", F.count("*").over(w_doc))
+            .filter(F.col("pos") <= F.col("sz")
+                    - F.ceil(F.lit(thr) * F.col("sz") - F.lit(1e-9)) + 1)
+            .select("id", "s"))
+    sizes = shd.groupBy("id").agg(F.count("*").alias("sz"))
+    pp_cand = (pref.select(F.col("id").alias("id_a"), "s")
+               .join(pref.select(F.col("id").alias("id_b"), "s"), "s")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .select("id_a", "id_b").distinct()
+               .join(sizes.select(F.col("id").alias("id_a"),
+                                  F.col("sz").alias("_sa")), "id_a")
+               .join(sizes.select(F.col("id").alias("id_b"),
+                                  F.col("sz").alias("_sb")), "id_b")
+               .filter(F.least("_sa", "_sb")
+                       >= F.lit(thr) * F.greatest("_sa", "_sb")
+                       - F.lit(1e-9))
+               .count())
+
+    out = {
+        "sf_dir": SF_DIR, "cores": CPUS, "n_docs": n_docs,
+        "n_exploded_rows": n_exploded,
+        "n_distinct_shingles": n_distinct_shingles,
+        "max_df_curve": curve,
+        "threshold": thr, "max_df": 100,
+        "candidates_baseline_distinct": base_cand,
+        "candidates_ppjoin_distinct": pp_cand,
+        "candidate_reduction": round(1 - pp_cand / max(base_cand, 1), 4),
+        "baseline_sec": runs[False]["sec"],
+        "ppjoin_sec": runs[True]["sec"],
+        "n_output_pairs": runs[False]["n_pairs"],
+        "parity": True,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/round4_d5.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -208,7 +208,8 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
 
 def jaccard_selfjoin(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", shingle_len: int = 4,
-                     threshold: float = 0.8, max_df: int = 100) -> DataFrame:
+                     threshold: float = 0.8, max_df: int = 100,
+                     prefix_filter: bool = False) -> DataFrame:
     """d5 — EXACT character-shingle Jaccard similarity self-join, fully
     declarative (no UDF): the classic set-similarity-join shape.
 
@@ -231,6 +232,22 @@ def jaccard_selfjoin(df: DataFrame, text_col: str = "text",
     corpus-wide pruning and this operator as the exact method on
     bounded subsets (a partition, a candidate cluster).
 
+    ``prefix_filter=True`` switches candidate generation to the PPJoin
+    prefix filter (Xiao et al. 2008, "Efficient Similarity Joins for
+    Near Duplicate Detection"): order each doc's shingles globally by
+    (document frequency asc, shingle) — rarest first — and join only
+    the first ``sz - ceil(t*sz) + 1`` shingles of each doc: any pair
+    with Jaccard >= t MUST share a token inside both prefixes (if all
+    shared tokens sat in A's suffix, |A∩B| <= ceil(t*|A|) - 1 < t*|A|
+    <= t*|A∪B|), so the pruning is LOSSLESS — same output, strictly
+    fewer candidate pairs than the df-cut baseline; the survivors'
+    intersections are then counted exactly against the full df-cut
+    relation.  A length filter (min_sz >= t*max_sz, necessary since
+    J <= min/max) prunes further before the verify.  The ceil is
+    computed with a 1e-9 downward slack so float error can only
+    LENGTHEN a prefix (extra candidates), never shorten it (missed
+    pairs).
+
     Plan shape: the df-cut is ONE window count over the shingle
     partitioning (not a separate aggregate + semi-join), and the two
     self-join sides are identical subtrees whose shingle Exchange Spark
@@ -248,17 +265,52 @@ def jaccard_selfjoin(df: DataFrame, text_col: str = "text",
             F.sequence(F.lit(1), n_pos),
             lambda i: F.substring(F.col(text_col), i, F.lit(shingle_len)))),
     ).otherwise(F.array().cast("array<string>"))
-    sh = (df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
-          .withColumn("df_cnt", F.count("*").over(W.partitionBy("s")))
-          .filter(F.col("df_cnt") <= max_df).drop("df_cnt"))
+    shd = (df.select(F.col(id_col).alias("id"),
+                     F.explode(shingles).alias("s"))
+           .withColumn("df_cnt", F.count("*").over(W.partitionBy("s")))
+           .filter(F.col("df_cnt") <= max_df))
+    sh = shd.drop("df_cnt")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    inter = (
-        sh.alias("a").join(sh.alias("b"),
-                           (F.col("a.s") == F.col("b.s"))
-                           & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    if prefix_filter:
+        # PPJoin candidates: both windows share the id partitioning
+        # (one Exchange); prefix length sz - ceil(t*sz) + 1, slack
+        # biased so fp error only over-generates
+        w_doc = W.partitionBy("id")
+        pref = (shd.withColumn("pos", F.row_number().over(
+                    w_doc.orderBy("df_cnt", "s")))
+                .withColumn("sz", F.count("*").over(w_doc))
+                .filter(F.col("pos") <= F.col("sz")
+                        - F.ceil(F.lit(threshold) * F.col("sz")
+                                 - F.lit(1e-9)) + 1)
+                .select("id", "s"))
+        cand = (pref.select(F.col("id").alias("id_a"), "s")
+                .join(pref.select(F.col("id").alias("id_b"), "s"), "s")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        cand = (cand
+                .join(sizes.select(F.col("id").alias("id_a"),
+                                   F.col("sz").alias("_sa")), "id_a")
+                .join(sizes.select(F.col("id").alias("id_b"),
+                                   F.col("sz").alias("_sb")), "id_b")
+                .filter(F.least("_sa", "_sb")
+                        >= F.lit(threshold) * F.greatest("_sa", "_sb")
+                        - F.lit(1e-9))
+                .select("id_a", "id_b"))
+        inter = (
+            cand
+            .join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        inter = (
+            sh.alias("a").join(sh.alias("b"),
+                               (F.col("a.s") == F.col("b.s"))
+                               & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
     return (
         inter
         .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
