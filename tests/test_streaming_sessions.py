@@ -1,0 +1,61 @@
+"""ProcessingTimeTimeout sessionization (round-3 VERDICT #8): with an
+idle-flush horizon the stream eventually emits EVERY session of a
+closed input, not just the closed ones.
+
+NOTE: with ProcessingTimeTimeout the engine schedules its own
+"no new data but cleaning up state" microbatches to fire expired
+timeouts, and ``processAllAvailable()`` can block across them — so
+this test POLLS the sink with a deadline instead."""
+
+import time
+
+import pandas as pd
+
+
+def _poll(spark, table, n_rows, deadline_s=90):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < deadline_s:
+        got = spark.table(table).toPandas()
+        if len(got) >= n_rows:
+            return got
+        time.sleep(0.5)
+    raise AssertionError(
+        f"{table} still has {len(spark.table(table).toPandas())} rows "
+        f"after {deadline_s}s, wanted {n_rows}")
+
+
+def test_sessionize_stream_idle_flush_emits_all_sessions(spark, tmp_path):
+    from yalder_spark.streaming.events import sessionize_stream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for u in range(5):
+        # two sessions per user: 3 events 5 min apart, a 3 h gap
+        # (>> the 30 min session gap), then 2 more events
+        for i in range(3):
+            rows.append((u, base + pd.Timedelta(minutes=5 * i), "a", 1.0))
+        for i in range(2):
+            rows.append((u, base + pd.Timedelta(hours=3, minutes=5 * i),
+                         "a", 1.0))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+
+    sf = tmp_path / "sfdir"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(sf / "events.parquet"))
+
+    q = sessionize_stream(spark, str(sf), gap_minutes=30,
+                          idle_flush_ms=800, query_name="sessions_flush")
+    try:
+        # closed sessions (n=3) arrive with the data batch; the open
+        # ones (n=2) flush on the engine's timeout-cleanup batches
+        # once the 800 ms idle horizon passes
+        got = _poll(spark, "sessions_flush", 10)
+    finally:
+        q.stop()
+
+    per_user = {u: sorted(g["n_events"]) for u, g in got.groupby("user_id")}
+    assert per_user == {u: [2, 3] for u in range(5)}
+    # flushed rows carry the true event-time boundaries
+    second = got[got["n_events"] == 2]
+    want_start = (base + pd.Timedelta(hours=3)).timestamp()
+    assert all(abs(s - want_start) < 1e-3 for s in second["session_start"])

@@ -90,7 +90,9 @@ def sessionize_batch(spark: SparkSession, sf_dir: str,
 
 
 def sessionize_stream(spark: SparkSession, sf_dir: str,
-                      gap_minutes: int = 30):
+                      gap_minutes: int = 30,
+                      idle_flush_ms: int | None = None,
+                      query_name: str = "sessions"):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user session aggregation with a gap timeout — the
     reference-free demo of arbitrary stateful processing (task spec:
@@ -99,25 +101,44 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
     State per user: (session_start, last_ts, n_events).  An event later
     than ``gap_minutes`` after the previous one closes the session and
     emits it.  Returns the started query writing closed sessions to the
-    in-memory table ``sessions``.
+    in-memory table ``query_name``.
 
-    Streaming semantics caveat: each user's FINAL session stays open in
-    state (with NoTimeout nothing ever closes it), so the sink holds
-    the CLOSED sessions only — a session is only knowably over once its
-    gap has elapsed.  A production variant would use
-    ProcessingTimeTimeout to flush sessions idle past the gap; the
-    batch form (``sessionize_batch``) sees the table's end and can
-    close every session, which is why parity tests compare closed
-    sessions.
+    Streaming semantics: with the default ``idle_flush_ms=None``
+    (NoTimeout) each user's FINAL session stays open in state forever,
+    so the sink holds CLOSED sessions only — a session is only knowably
+    over once its gap has elapsed, and parity tests against
+    ``sessionize_batch`` compare closed sessions.  Setting
+    ``idle_flush_ms`` switches to ProcessingTimeTimeout (round-3
+    VERDICT #8): a user idle past that PROCESSING-time horizon has
+    their open session flushed and state removed on the next
+    microbatch, so on a quiesced input the stream eventually emits
+    EVERY session (batch parity on a closed input is pinned by
+    tests/test_streaming_sessions.py).  Production sets it to the gap;
+    tests use a short horizon.  Event-time and processing-time gaps
+    coincide only for live (non-replayed) streams — a backfill replay
+    flushes by arrival idleness, the documented ProcessingTimeTimeout
+    tradeoff (EventTimeTimeout + watermark is the replay-correct
+    variant).  Caveat: the engine fires expired timeouts via its own
+    "cleaning up state" microbatches, across which
+    ``processAllAvailable()`` can block — callers should poll the sink
+    (see tests/test_streaming_sessions.py).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     import pandas as pd
 
     gap_s = gap_minutes * 60
+    cols = ["user_id", "session_start", "session_end", "n_events"]
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
         rows = []
+        if idle_flush_ms is not None and state.hasTimedOut:
+            start, last, n = state.get
+            if n > 0:
+                rows.append((user_id, start, last, n))
+            state.remove()
+            yield pd.DataFrame(rows, columns=cols)
+            return
         if state.exists:
             start, last, n = state.get
         else:
@@ -134,8 +155,9 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
             last = t
             n += 1
         state.update((start, last, n))
-        yield pd.DataFrame(
-            rows, columns=["user_id", "session_start", "session_end", "n_events"])
+        if idle_flush_ms is not None:
+            state.setTimeoutDuration(idle_flush_ms)
+        yield pd.DataFrame(rows, columns=cols)
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = (spark.readStream.schema(schema)
@@ -149,8 +171,10 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
                              "session_end double, n_events long",
             stateStructType="session_start double, last_ts double, n_events long",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                         if idle_flush_ms is not None
+                         else GroupStateTimeout.NoTimeout),
         )
     )
     return (sessions.writeStream.outputMode("append")
-            .format("memory").queryName("sessions").start())
+            .format("memory").queryName(query_name).start())
