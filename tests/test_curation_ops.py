@@ -499,3 +499,49 @@ def test_jaccard_prefix_filter_is_lossless(spark):
                     jaccard_selfjoin(micro, threshold=thr, max_df=1000,
                                      prefix_filter=True).collect())
         assert pp == base, f"thr={thr}"
+
+
+def test_cc_star_matches_label_propagation_on_random_graphs(spark):
+    """large-star/small-star must produce the identical clustering as
+    min-label propagation on seeded random graphs (mixed chains,
+    cliques, isolated pairs, self-loops, duplicate edges)."""
+    import random
+
+    from yalder_spark.operators.dedup import neardup_clusters
+
+    rng = random.Random(23)
+    for trial in range(4):
+        n = rng.randint(8, 40)
+        edges = [(rng.randint(0, n), rng.randint(0, n))
+                 for _ in range(rng.randint(5, 60))]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        lab = {(r.doc_id, r.cluster_rep) for r in
+               neardup_clusters(pairs, max_iter=50).collect()}
+        star = {(r.doc_id, r.cluster_rep) for r in
+                neardup_clusters(pairs, algorithm="star").collect()}
+        assert star == lab, f"trial {trial}"
+
+
+def test_cc_star_converges_logarithmically_on_long_chain(spark):
+    """A 100-node path needs ~100 label-propagation rounds but only
+    O(log n) star rounds — max_iter=12 must suffice for star and fail
+    loudly for label propagation."""
+    from yalder_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(100)],
+                                  "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_rep
+           for r in neardup_clusters(pairs, max_iter=12,
+                                     algorithm="star").collect()}
+    assert set(got.values()) == {0} and len(got) == 101
+    with pytest.raises(RuntimeError, match="converge"):
+        neardup_clusters(pairs, max_iter=12)
+
+
+def test_cc_star_self_loops_and_singletons(spark):
+    from yalder_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_rep) for r in
+           neardup_clusters(pairs, algorithm="star").collect()}
+    assert got == {(5, 5), (1, 1), (2, 1)}

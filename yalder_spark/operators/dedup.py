@@ -475,7 +475,8 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95,
     )
 
 
-def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
+                     algorithm: str = "label") -> DataFrame:
     """d6 — connected components over near-dup candidate pairs:
     (id_a, id_b) edges -> (doc_id, cluster_rep) where cluster_rep is
     the MIN doc id of the component.  The principled survivor rule for
@@ -498,7 +499,17 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     each round and eventually blows the planner); the convergence probe
     aggregates a single BIGINT per round.  Edges are expected
     pre-deduplicated (candidate pairs from d2/d5/e4); labels converge
-    regardless of duplicate edges, they only cost shuffle bytes."""
+    regardless of duplicate edges, they only cost shuffle bytes.
+
+    ``algorithm="star"`` dispatches to `neardup_clusters_star` — the
+    O(log n)-round large-star/small-star form for graphs whose
+    diameter outruns ``max_iter`` (identical output, property-tested
+    in tests/test_curation_ops.py)."""
+    if algorithm == "star":
+        return neardup_clusters_star(pairs, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"algorithm must be 'label' or 'star', "
+                         f"got {algorithm!r}")
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -538,6 +549,84 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             f"iterations ({n_changed} labels still changing)")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("lbl").alias("cluster_rep"))
+
+
+def neardup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """d6 (adversarial-diameter variant) — connected components via
+    alternating large-star/small-star (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond"): converges in O(log n) rounds
+    regardless of component DIAMETER, where `neardup_clusters`' label
+    propagation needs diameter-many rounds (a 10^6-node chain would
+    need 10^6 shuffles there, ~20 here).  Same output contract:
+    (doc_id, cluster_rep=min id of the component), every input node
+    present.
+
+    Per round, entirely declarative:
+    - large-star: for each node u with symmetric neighborhood Γ(u),
+      m = min(Γ(u) ∪ {u}); emit edge (v, m) for every v ∈ Γ(u), v > u.
+    - small-star on the resulting big→small edges: for each u with
+      smaller-neighbors N(u), m = min(N(u)); emit (v, m) for
+      v ∈ N(u) ∪ {u}, v ≠ m.
+    The fixed point is a star forest: every node points straight at
+    its component min.  Convergence probe = (count, sum(xxhash64)) of
+    the canonical edge set — one cheap aggregate per round, no
+    edge-set join.  State per round is edges only; localCheckpoint
+    truncates lineage exactly as in the label-propagation form."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    nodes = (pairs.select(F.col("id_a").alias("id"))
+             .union(pairs.select(F.col("id_b").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+    # canonical big->small orientation, self-loops dropped
+    edges = (pairs.select(F.greatest("id_a", "id_b").alias("a"),
+                          F.least("id_a", "id_b").alias("b"))
+             .filter(F.col("a") != F.col("b"))
+             .distinct().localCheckpoint(eager=True))
+
+    def _sig(e: DataFrame):
+        # sum the 64-bit hashes in DECIMAL(38,0): an int64 sum would
+        # overflow (ANSI mode raises) after a handful of edges
+        r = e.agg(F.count("*"),
+                  F.coalesce(F.sum(F.xxhash64("a", "b")
+                                   .cast("decimal(38,0)")),
+                             F.lit(0).cast("decimal(38,0)"))).first()
+        return (r[0], r[1])
+
+    sig = _sig(edges)
+    for _ in range(max_iter):
+        # large-star over the symmetric view
+        sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+            .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        m_l = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+               .select("u", F.least("mn", F.col("u")).alias("m")))
+        large = (sym.filter(F.col("v") > F.col("u"))
+                 .join(m_l, "u")
+                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                 .filter(F.col("a") != F.col("b")).distinct())
+        # small-star over big->small edges (every b < a by construction)
+        m_s = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (large.join(m_s, "a")
+                 .select(F.col("b").alias("x"), F.col("m"))
+                 .union(large.join(m_s, "a")
+                        .select(F.col("a").alias("x"), F.col("m")))
+                 .filter(F.col("x") != F.col("m"))
+                 .select(F.col("x").alias("a"), F.col("m").alias("b"))
+                 .distinct().localCheckpoint(eager=True))
+        new_sig = _sig(small)
+        edges = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"neardup_clusters_star did not converge within {max_iter} "
+            "iterations")
+    # star forest: non-root nodes appear as `a` exactly once; roots
+    # (component minima) and isolated nodes map to themselves
+    return (nodes.join(edges.select(F.col("a").alias("id"),
+                                    F.col("b").alias("rep")), "id", "left")
+            .select(F.col("id").alias("doc_id"),
+                    F.coalesce("rep", "id").alias("cluster_rep")))
 
 
 def decontaminate(train: DataFrame, eval_df: DataFrame,
