@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Supplementary benchmark: the round-4 operators/paths at sf0.1,
+local[32] — the hashed+gated d8, the streaming first-seen dedup (s4),
+star-vs-label connected components on the d6 edge set, and d5 with
+the PPJoin prefix filter on/off.
+
+Separate from bench.py (whose 8 headline queries stay stable across
+rounds for comparability).  Writes BENCH/round4_ops.json.
+
+Run on a QUIET host only (see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"))
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    import __spark_entry__ as entry
+    from bench import _CALIB_EXPECT_SEC, _calibration_probe
+    from yalder_spark.operators.dedup import (jaccard_selfjoin,
+                                              neardup_clusters)
+
+    spark = (SparkSession.builder.master(f"local[{args.cores}]")
+             .appName("bench-round4-ops")
+             .config("spark.sql.shuffle.partitions", str(args.cores))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory", "8g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    # the d6 query's edge set: exact-Jaccard pairs at the default knobs
+    edges = jaccard_selfjoin(docs, threshold=0.8).select("id_a", "id_b") \
+        .localCheckpoint(eager=True)
+
+    cases = {
+        "d8_decontaminate_hashed": lambda:
+            qs["d8_decontaminate"](spark, args.sf_dir).count(),
+        "s4_dedup_stream": lambda:
+            qs["s4_dedup_stream"](spark, args.sf_dir).count(),
+        "d6_cc_label": lambda:
+            neardup_clusters(edges).count(),
+        "d6_cc_star": lambda:
+            neardup_clusters(edges, algorithm="star").count(),
+        "d5_baseline": lambda:
+            jaccard_selfjoin(docs, threshold=0.8).count(),
+        "d5_ppjoin": lambda:
+            jaccard_selfjoin(docs, threshold=0.8,
+                             prefix_filter=True).count(),
+    }
+
+    def timed(fn):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    results = {}
+    for name, fn in cases.items():
+        fn()  # warm
+        times = [timed(fn) for _ in range(args.runs)]
+        extra = 0
+        while extra < 4:
+            s = sorted(times)
+            if len(s) >= 2 and s[1] <= 1.25 * s[0]:
+                break
+            times.append(timed(fn))
+            extra += 1
+        results[name] = round(min(times), 4)
+        print(f"{name}: {results[name]}s", file=sys.stderr)
+
+    calib = _calibration_probe()
+    out = {
+        "sf_dir": args.sf_dir, "cores": args.cores,
+        "ops_sec": results, "total_sec": round(sum(results.values()), 4),
+        "calibration": {"probe_sec": calib,
+                        "noise_ratio": round(calib / _CALIB_EXPECT_SEC, 2)},
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "round4_ops.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
