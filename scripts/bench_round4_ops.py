@@ -32,20 +32,15 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession, functions as F
-
     import __spark_entry__ as entry
-    from bench import _CALIB_EXPECT_SEC, _calibration_probe
+    from bench import (_CALIB_EXPECT_SEC, _calibration_probe,
+                       build_bench_session)
     from yalder_spark.operators.dedup import (jaccard_selfjoin,
                                               neardup_clusters)
 
-    spark = (SparkSession.builder.master(f"local[{args.cores}]")
-             .appName("bench-round4-ops")
-             .config("spark.sql.shuffle.partitions", str(args.cores))
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.driver.memory", "8g")
-             .getOrCreate())
+    # the SAME session recipe as bench.py (Arrow on, 512-row batches)
+    # so stateful-pandas numbers are comparable across benchmarks
+    spark = build_bench_session(args.cores)
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()

@@ -76,7 +76,11 @@ def main():
         print(pf, runs[pf]["sec"], runs[pf]["n_pairs"], flush=True)
     assert runs[False]["pairs"] == runs[True]["pairs"], "parity violated"
 
-    # candidate pairs each path verifies (distinct, pre-threshold)
+    # candidate pairs each path verifies (distinct, pre-threshold);
+    # the PPJoin side calls the operator's OWN candidate pipeline so
+    # the published numbers can never drift from the code path
+    from yalder_spark.operators.dedup import ppjoin_candidates
+
     shd = (sh.withColumn("df_cnt", F.count("*").over(W.partitionBy("s")))
            .filter(F.col("df_cnt") <= 100))
     base_cand = (shd.alias("a").join(
@@ -84,26 +88,8 @@ def main():
         (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id"), F.col("b.id")).distinct().count())
     thr = 0.8
-    w_doc = W.partitionBy("id")
-    pref = (shd.withColumn("pos", F.row_number().over(
-                w_doc.orderBy("df_cnt", "s")))
-            .withColumn("sz", F.count("*").over(w_doc))
-            .filter(F.col("pos") <= F.col("sz")
-                    - F.ceil(F.lit(thr) * F.col("sz") - F.lit(1e-9)) + 1)
-            .select("id", "s"))
     sizes = shd.groupBy("id").agg(F.count("*").alias("sz"))
-    pp_cand = (pref.select(F.col("id").alias("id_a"), "s")
-               .join(pref.select(F.col("id").alias("id_b"), "s"), "s")
-               .filter(F.col("id_a") < F.col("id_b"))
-               .select("id_a", "id_b").distinct()
-               .join(sizes.select(F.col("id").alias("id_a"),
-                                  F.col("sz").alias("_sa")), "id_a")
-               .join(sizes.select(F.col("id").alias("id_b"),
-                                  F.col("sz").alias("_sb")), "id_b")
-               .filter(F.least("_sa", "_sb")
-                       >= F.lit(thr) * F.greatest("_sa", "_sb")
-                       - F.lit(1e-9))
-               .count())
+    pp_cand = ppjoin_candidates(shd, sizes, thr).count()
 
     out = {
         "sf_dir": SF_DIR, "cores": CPUS, "n_docs": n_docs,
@@ -119,8 +105,9 @@ def main():
         "n_output_pairs": runs[False]["n_pairs"],
         "parity": True,
     }
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/round4_d5.json", "w") as f:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    with open(os.path.join(repo, "BENCH", "round4_d5.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 

@@ -434,26 +434,28 @@ def test_decontaminate_joins_on_hashed_bigint_shingles(spark):
 
 def test_decontaminate_shuffle_fallback_matches_broadcast(spark):
     """Past max_broadcast_shingles the operator degrades to a shuffle
-    join with IDENTICAL output (the size gate, round-3 VERDICT #2)."""
+    join with IDENTICAL output (the size gate, round-3 VERDICT #2).
+    The plan assert runs on PARQUET-backed inputs: on those, merely
+    omitting the broadcast hint is NOT enough (Spark's auto-broadcast
+    underestimates the exploded relation from pre-explode scan stats
+    and broadcasts anyway), so the over-limit branch must actively
+    force a shuffle strategy."""
     from yalder_spark.operators.dedup import decontaminate
 
-    base = "the quick brown fox jumps over the lazy dog repeatedly today"
-    train = spark.createDataFrame(
-        [(1, base + " with a small local edit"),
-         (2, "completely different content about spark physical plans")],
-        "doc_id long, text string")
-    ev = spark.createDataFrame(
-        [(100, base + " and some extra eval-only words")],
-        "doc_id long, text string")
-    bcast = sorted((r.train_id, r.eval_id, r.n_shared) for r in
-                   decontaminate(train, ev, min_overlap=10).collect())
-    shuf_df = decontaminate(train, ev, min_overlap=10,
-                            max_broadcast_shingles=1)
-    plan = shuf_df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" not in plan, plan[:600]
-    shuf = sorted((r.train_id, r.eval_id, r.n_shared)
-                  for r in shuf_df.collect())
-    assert bcast == shuf and len(bcast) == 1
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train_p = docs.filter(F.col("doc_id") % 20 != 0)
+    ev_p = docs.filter(F.col("doc_id") % 20 == 0)
+    shuf_plan_df = decontaminate(train_p, ev_p, max_broadcast_shingles=1)
+    plan = shuf_plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan[:800]
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan[:800]
+
+    bc = sorted((r.train_id, r.eval_id, r.n_shared) for r in
+                decontaminate(train_p, ev_p, min_overlap=10).collect())
+    sh = sorted((r.train_id, r.eval_id, r.n_shared) for r in
+                decontaminate(train_p, ev_p, min_overlap=10,
+                              max_broadcast_shingles=1).collect())
+    assert bc == sh and len(bc) > 0
 
 
 def test_cc_converges_with_single_scan_probe(spark):

@@ -206,6 +206,41 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     )
 
 
+def ppjoin_candidates(shd: DataFrame, sizes: DataFrame,
+                      threshold: float) -> DataFrame:
+    """PPJoin candidate generation for `jaccard_selfjoin` (shared with
+    scripts/measure_d5.py so published candidate counts always measure
+    the operator's real code path).  ``shd`` is the df-cut shingle
+    relation (id, s, df_cnt); ``sizes`` is (id, sz).  Both windows
+    share the id partitioning (one Exchange); prefix length
+    sz - ceil(t*sz) + 1 with the ceil slack biased so fp error only
+    over-generates; a length filter (min_sz >= t*max_sz) prunes before
+    the verify."""
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy("id")
+    pref = (shd.withColumn("pos", F.row_number().over(
+                w_doc.orderBy("df_cnt", "s")))
+            .withColumn("sz", F.count("*").over(w_doc))
+            .filter(F.col("pos") <= F.col("sz")
+                    - F.ceil(F.lit(threshold) * F.col("sz")
+                             - F.lit(1e-9)) + 1)
+            .select("id", "s"))
+    cand = (pref.select(F.col("id").alias("id_a"), "s")
+            .join(pref.select(F.col("id").alias("id_b"), "s"), "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    return (cand
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("sz").alias("_sa")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("sz").alias("_sb")), "id_b")
+            .filter(F.least("_sa", "_sb")
+                    >= F.lit(threshold) * F.greatest("_sa", "_sb")
+                    - F.lit(1e-9))
+            .select("id_a", "id_b"))
+
+
 def jaccard_selfjoin(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", shingle_len: int = 4,
                      threshold: float = 0.8, max_df: int = 100,
@@ -272,30 +307,7 @@ def jaccard_selfjoin(df: DataFrame, text_col: str = "text",
     sh = shd.drop("df_cnt")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     if prefix_filter:
-        # PPJoin candidates: both windows share the id partitioning
-        # (one Exchange); prefix length sz - ceil(t*sz) + 1, slack
-        # biased so fp error only over-generates
-        w_doc = W.partitionBy("id")
-        pref = (shd.withColumn("pos", F.row_number().over(
-                    w_doc.orderBy("df_cnt", "s")))
-                .withColumn("sz", F.count("*").over(w_doc))
-                .filter(F.col("pos") <= F.col("sz")
-                        - F.ceil(F.lit(threshold) * F.col("sz")
-                                 - F.lit(1e-9)) + 1)
-                .select("id", "s"))
-        cand = (pref.select(F.col("id").alias("id_a"), "s")
-                .join(pref.select(F.col("id").alias("id_b"), "s"), "s")
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b").distinct())
-        cand = (cand
-                .join(sizes.select(F.col("id").alias("id_a"),
-                                   F.col("sz").alias("_sa")), "id_a")
-                .join(sizes.select(F.col("id").alias("id_b"),
-                                   F.col("sz").alias("_sb")), "id_b")
-                .filter(F.least("_sa", "_sb")
-                        >= F.lit(threshold) * F.greatest("_sa", "_sb")
-                        - F.lit(1e-9))
-                .select("id_a", "id_b"))
+        cand = ppjoin_candidates(shd, sizes, threshold)
         inter = (
             cand
             .join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
@@ -475,7 +487,7 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95,
     )
 
 
-def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
+def neardup_clusters(pairs: DataFrame, max_iter: int | None = None,
                      algorithm: str = "label") -> DataFrame:
     """d6 — connected components over near-dup candidate pairs:
     (id_a, id_b) edges -> (doc_id, cluster_rep) where cluster_rep is
@@ -504,12 +516,17 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 25,
     ``algorithm="star"`` dispatches to `neardup_clusters_star` — the
     O(log n)-round large-star/small-star form for graphs whose
     diameter outruns ``max_iter`` (identical output, property-tested
-    in tests/test_curation_ops.py)."""
+    in tests/test_curation_ops.py).  The ``max_iter`` default is
+    per-algorithm (25 label rounds, 30 star rounds), so the dispatch
+    path is never weaker than the direct call."""
     if algorithm == "star":
-        return neardup_clusters_star(pairs, max_iter)
+        return (neardup_clusters_star(pairs) if max_iter is None
+                else neardup_clusters_star(pairs, max_iter))
     if algorithm != "label":
         raise ValueError(f"algorithm must be 'label' or 'star', "
                          f"got {algorithm!r}")
+    if max_iter is None:
+        max_iter = 25
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -648,12 +665,19 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     far below ``min_overlap``'s slack) and is BROADCAST when it fits:
     the whole check is then map-side on the train scan plus one partial
     aggregate of (train_id, eval_id) hit pairs; the train side is never
-    shuffled by shingle.  The broadcast is SIZE-GATED: one cheap count
-    on the small eval side, and past ``max_broadcast_shingles``
-    (default 5e7 rows ≈ 0.8 GB of hashed relation, comfortably under
-    Spark's 8 GB broadcast ceiling) it degrades to a plain shuffle
-    hash join instead of OOMing the driver — correctness identical,
-    the train side pays one shuffle.  Returns
+    shuffled by shingle.  The broadcast is SIZE-GATED: one cheap
+    aggregate on the small eval side bounds the shingle count from
+    ABOVE by Σ max(len(text) − L + 1, 0) (no explode, no second pass;
+    conservative — repetitive text over-counts and merely falls back
+    early), and past ``max_broadcast_shingles`` (default 5e7 rows ≈
+    0.8 GB of hashed relation, comfortably under Spark's 8 GB broadcast
+    ceiling) the join is FORCED to shuffle-hash via a join hint —
+    merely omitting the broadcast hint is not enough, because Spark's
+    auto-broadcast estimates the exploded relation from the tiny
+    pre-explode scan stats and would broadcast it anyway (pinned by
+    tests/test_curation_ops.py on a parquet-backed input).
+    Correctness identical either way; the over-limit path pays one
+    shuffle of the train shingles.  Returns
     (train_id, eval_id, n_shared)."""
     def sh(df: DataFrame, out_id: str) -> DataFrame:
         n_pos = F.length(text_col) - (shingle_len - 1)
@@ -669,9 +693,13 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
                          ).select(out_id, F.xxhash64("s0").alias("s"))
 
     ev = sh(eval_df, "eval_id")
-    n_eval_shingles = ev.count()
-    if n_eval_shingles <= max_broadcast_shingles:
+    shingle_bound = eval_df.agg(F.coalesce(F.sum(F.greatest(
+        F.length(text_col) - (shingle_len - 1), F.lit(0))),
+        F.lit(0))).first()[0]
+    if shingle_bound <= max_broadcast_shingles:
         ev = F.broadcast(ev)
+    else:
+        ev = ev.hint("shuffle_hash")
     return (sh(train, "train_id")
             .join(ev, "s")
             .groupBy("train_id", "eval_id")

@@ -55,6 +55,11 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
     overlap = set(payload) & set(left.columns)
     if overlap:
         raise ValueError(f"right payload columns collide with left: {overlap}")
+    internal = {"_side", "_p"} & (set(left.columns) | set(right.columns))
+    if internal:
+        raise ValueError(
+            f"column names {sorted(internal)} are reserved by asof_join's "
+            "internal tagging; rename them in the inputs")
 
     l_tag = left.withColumn("_side", F.lit(1))
     r_tag = right.withColumn("_side", F.lit(0))
