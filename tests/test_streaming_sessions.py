@@ -59,3 +59,55 @@ def test_sessionize_stream_idle_flush_emits_all_sessions(spark, tmp_path):
     second = got[got["n_events"] == 2]
     want_start = (base + pd.Timedelta(hours=3)).timestamp()
     assert all(abs(s - want_start) < 1e-3 for s in second["session_start"])
+
+
+def test_sessionize_stream_event_time_flush_is_replay_correct(spark, tmp_path):
+    """EventTimeTimeout variant: sessions close when the WATERMARK
+    passes last_event + gap — driven entirely by event time, so the
+    test is deterministic (no sleeps): a later batch advances the
+    watermark and the old sessions flush with exact batch boundaries."""
+    from yalder_spark.streaming.events import sessionize_stream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [(u, base + pd.Timedelta(minutes=5 * i), "a", 1.0)
+            for u in range(3) for i in range(3)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+
+    sf = tmp_path / "sfdir"
+    evdir = str(sf / "events.parquet")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(evdir)
+
+    q = sessionize_stream(spark, str(sf), gap_minutes=30,
+                          event_time_flush=True,
+                          query_name="sessions_evt")
+    try:
+        q.processAllAvailable()
+        assert len(spark.table("sessions_evt").toPandas()) == 0
+
+        # advance the watermark far past every open session's deadline;
+        # expired timeouts fire on a batch AFTER the advance, so write
+        # bounded sentinel batches until the flush lands
+        got = None
+        for attempt in range(6):
+            sent = pd.DataFrame(
+                [(100 + attempt,
+                  base + pd.Timedelta(hours=2, minutes=attempt), "a", 1.0)],
+                columns=pdf.columns)
+            spark.createDataFrame(sent).coalesce(1).write.mode("append") \
+                .parquet(evdir)
+            q.processAllAvailable()
+            got = spark.table("sessions_evt").toPandas()
+            if len(got[got["user_id"] < 100]) >= 3:
+                break
+    finally:
+        q.stop()
+
+    real = got[got["user_id"] < 100]
+    assert sorted(real["user_id"]) == [0, 1, 2]
+    assert set(real["n_events"]) == {3}
+    want_start = base.timestamp()
+    want_end = (base + pd.Timedelta(minutes=10)).timestamp()
+    assert all(abs(s - want_start) < 1e-3 for s in real["session_start"])
+    assert all(abs(e - want_end) < 1e-3 for e in real["session_end"])
+    # the sentinel users' own sessions stay open (watermark at their ts)
+    assert len(got[got["user_id"] >= 100]) == 0

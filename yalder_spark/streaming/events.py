@@ -92,6 +92,8 @@ def sessionize_batch(spark: SparkSession, sf_dir: str,
 def sessionize_stream(spark: SparkSession, sf_dir: str,
                       gap_minutes: int = 30,
                       idle_flush_ms: int | None = None,
+                      event_time_flush: bool = False,
+                      watermark: str = "0 seconds",
                       query_name: str = "sessions"):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user session aggregation with a gap timeout — the
@@ -117,22 +119,39 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
     tests use a short horizon.  Event-time and processing-time gaps
     coincide only for live (non-replayed) streams — a backfill replay
     flushes by arrival idleness, the documented ProcessingTimeTimeout
-    tradeoff (EventTimeTimeout + watermark is the replay-correct
-    variant).  Caveat: the engine fires expired timeouts via its own
+    tradeoff.  Caveat: the engine fires expired timeouts via its own
     "cleaning up state" microbatches, across which
     ``processAllAvailable()`` can block — callers should poll the sink
     (see tests/test_streaming_sessions.py).
+
+    ``event_time_flush=True`` is the REPLAY-CORRECT variant
+    (EventTimeTimeout + ``withWatermark``): a session closes when the
+    event-time WATERMARK passes ``last_event + gap`` — the exact batch
+    gap rule, independent of arrival rate or wall clock, so a backfill
+    replayed at any speed produces the same sessions.  The flush
+    deadline is clamped to just past the current watermark (Spark
+    rejects timeout timestamps at/below it) — a clamped session was by
+    definition already gap-expired when its last batch committed.
+    Liveness caveat: the watermark only advances with NEW data, so a
+    fully-quiesced stream holds its final sessions in state (batch
+    sees EOF and can close them; a stream cannot know the input
+    ended).  Deterministically tested via a two-batch replay in
+    tests/test_streaming_sessions.py — no sleeps.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     import pandas as pd
 
+    if idle_flush_ms is not None and event_time_flush:
+        raise ValueError("idle_flush_ms and event_time_flush are "
+                         "mutually exclusive")
     gap_s = gap_minutes * 60
+    has_timeout = idle_flush_ms is not None or event_time_flush
     cols = ["user_id", "session_start", "session_end", "n_events"]
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
         rows = []
-        if idle_flush_ms is not None and state.hasTimedOut:
+        if has_timeout and state.hasTimedOut:
             start, last, n = state.get
             if n > 0:
                 rows.append((user_id, start, last, n))
@@ -157,12 +176,24 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
         state.update((start, last, n))
         if idle_flush_ms is not None:
             state.setTimeoutDuration(idle_flush_ms)
+        elif event_time_flush:
+            deadline_ms = int(last * 1000) + gap_s * 1000
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame(rows, columns=cols)
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = (spark.readStream.schema(schema)
           .parquet(f"{sf_dir}/events.parque[t]")
           .withColumn("ts", F.col("ts").cast("timestamp")))
+    if event_time_flush:
+        ev = ev.withWatermark("ts", watermark)
+    if idle_flush_ms is not None:
+        timeout_conf = GroupStateTimeout.ProcessingTimeTimeout
+    elif event_time_flush:
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout_conf = GroupStateTimeout.NoTimeout
     sessions = (
         ev.groupBy("user_id")
         .applyInPandasWithState(
@@ -171,9 +202,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
                              "session_end double, n_events long",
             stateStructType="session_start double, last_ts double, n_events long",
             outputMode="append",
-            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
-                         if idle_flush_ms is not None
-                         else GroupStateTimeout.NoTimeout),
+            timeoutConf=timeout_conf,
         )
     )
     return (sessions.writeStream.outputMode("append")
