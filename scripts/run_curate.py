@@ -37,6 +37,12 @@ def main() -> None:
                     help="near-dup drop rule: 'pairs' drops id_b of every "
                          "verified pair (one pass); 'clusters' runs connected "
                          "components and keeps exactly one doc per cluster")
+    ap.add_argument("--cc-algorithm", choices=("label", "star"),
+                    default="label",
+                    help="connected-components algorithm for "
+                         "--survivor-rule clusters: 'label' propagation "
+                         "(rounds = diameter) or 'star' (O(log n) rounds "
+                         "for adversarial-diameter pair graphs)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--resumable", action="store_true",
@@ -61,7 +67,8 @@ def main() -> None:
             LanguageModel.load(args.model), LanguageModel.load(args.ppl_model),
             n_buckets=args.buckets,
             neardup_threshold=args.neardup_threshold,
-            survivor_rule=args.survivor_rule)
+            survivor_rule=args.survivor_rule,
+            cc_algorithm=args.cc_algorithm)
         # same stats sidecar contract as the non-resumable path; counts
         # cover the WHOLE committed output (complete even after resume),
         # from a column-pruned read of the committed buckets
@@ -89,6 +96,7 @@ def main() -> None:
         neardup_threshold=args.neardup_threshold,
         count_curated=False,
         survivor_rule=args.survivor_rule,
+        cc_algorithm=args.cc_algorithm,
     )
     curated.write.mode("overwrite").parquet(args.output)
     stats["n_curated"] = spark.read.parquet(args.output).count()

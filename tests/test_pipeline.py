@@ -337,3 +337,17 @@ def test_stale_staging_dirs_are_reclaimed(spark, input_path, model_artifact,
     run_filter(spark, input_path, out, model_artifact, ppl_model,
                n_buckets=4)
     assert not os.path.exists(os.path.join(out, "_staging"))
+
+
+def test_curate_star_cc_matches_label_cc(spark, repos_pdf):
+    """cc_algorithm='star' must produce the same curated survivor set
+    as label propagation through the whole curate chain."""
+    from yalder_spark.pipeline import _dedup_survivors
+
+    df = spark.createDataFrame(repos_pdf)
+    a, sa = _dedup_survivors(df, "content", 0.85, "clusters", "label")
+    b, sb = _dedup_survivors(df, "content", 0.85, "clusters", "star")
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and len(ids_a) > 0
+    assert sa == sb

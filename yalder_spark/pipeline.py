@@ -63,6 +63,7 @@ def curate_corpus(df: DataFrame, model: LanguageModel,
                   neardup_threshold: float = 0.85,
                   count_curated: bool = True,
                   survivor_rule: str = "pairs",
+                  cc_algorithm: str = "label",
                   ) -> tuple[DataFrame, dict]:
     """The full training-data curation chain a 100 TB corpus runs before
     tokenization, composed from this repo's operators::
@@ -93,7 +94,7 @@ def curate_corpus(df: DataFrame, model: LanguageModel,
     the written output's parquet metadata instead (see run_curate.py)."""
     config = config or FilterConfig()
     survivors, stats = _dedup_survivors(df, content_col, neardup_threshold,
-                                        survivor_rule)
+                                        survivor_rule, cc_algorithm)
 
     filtered = quality_filter(survivors, model, ppl_model, config,
                               key_cols=("repo", "path", "commit", "lang"))
@@ -104,7 +105,8 @@ def curate_corpus(df: DataFrame, model: LanguageModel,
 
 def _dedup_survivors(df: DataFrame, content_col: str,
                      neardup_threshold: float,
-                     survivor_rule: str = "pairs") -> tuple[DataFrame, dict]:
+                     survivor_rule: str = "pairs",
+                     cc_algorithm: str = "label") -> tuple[DataFrame, dict]:
     """Shared dedup prefix of the curation paths (`curate_corpus` and
     `run_curate_resumable` MUST agree on doc identity and the survivor
     rule — one implementation).  Returns (survivors with a ``doc_id``
@@ -126,7 +128,10 @@ def _dedup_survivors(df: DataFrame, content_col: str,
     extra cost is the iterative label propagation, over the tiny pair
     graph only.  The component minimum is never the larger side of an
     edge, so cluster survivors are always a SUBSET of pair survivors
-    (property-tested in tests/test_pipeline.py)."""
+    (property-tested in tests/test_pipeline.py).  ``cc_algorithm``
+    forwards to `neardup_clusters` ("label" propagation, or "star" for
+    the O(log n)-round large-star/small-star form when a pair graph
+    has adversarial diameter)."""
     from yalder_spark.operators.dedup import (exact_dedup, minhash_dedup,
                                               neardup_clusters)
 
@@ -145,7 +150,8 @@ def _dedup_survivors(df: DataFrame, content_col: str,
     pairs = minhash_dedup(uniq, content_col, "doc_id",
                           threshold=neardup_threshold)
     if survivor_rule == "clusters":
-        drop_near = (neardup_clusters(pairs.select("id_a", "id_b"))
+        drop_near = (neardup_clusters(pairs.select("id_a", "id_b"),
+                                      algorithm=cc_algorithm)
                      .filter(F.col("doc_id") != F.col("cluster_rep"))
                      .select("doc_id").cache())
     else:
@@ -216,6 +222,7 @@ def run_curate_resumable(spark: SparkSession, input_path: str,
                          neardup_threshold: float = 0.85,
                          content_col: str = "content",
                          survivor_rule: str = "pairs",
+                         cc_algorithm: str = "label",
                          input_format: str = "parquet") -> dict:
     """Resumable curation job: the dedup stages are GLOBAL and
     deterministic (content-addressed ids, frozen MinHash permutations),
@@ -232,7 +239,7 @@ def run_curate_resumable(spark: SparkSession, input_path: str,
     df = yio.read_source(spark, input_path, input_format)
     survivors, dedup_stats = _dedup_survivors(df, content_col,
                                               neardup_threshold,
-                                              survivor_rule)
+                                              survivor_rule, cc_algorithm)
     report = _filter_and_commit(spark, survivors.drop("doc_id"),
                                 input_path, output_path,
                                 model, ppl_model, config, n_buckets)
