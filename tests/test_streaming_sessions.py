@@ -111,3 +111,55 @@ def test_sessionize_stream_event_time_flush_is_replay_correct(spark, tmp_path):
     assert all(abs(e - want_end) < 1e-3 for e in real["session_end"])
     # the sentinel users' own sessions stay open (watermark at their ts)
     assert len(got[got["user_id"] >= 100]) == 0
+
+
+def test_sessionize_stream_late_event_folds_without_rewinding(spark, tmp_path):
+    """With a nonzero watermark a cross-batch late event must fold into
+    the open session (start may extend back, end never rewinds) so the
+    later gap decision matches the batch rule on the full sorted data
+    — the review-found rewind bug would emit end=00:05 here."""
+    from yalder_spark.streaming.events import sessionize_stream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    cols = ["user_id", "ts", "event_type", "value"]
+    b1 = pd.DataFrame([(1, base, "a", 1.0),
+                       (1, base + pd.Timedelta(minutes=20), "a", 1.0)],
+                      columns=cols)
+    sf = tmp_path / "sfdir"
+    evdir = str(sf / "events.parquet")
+    spark.createDataFrame(b1).coalesce(1).write.parquet(evdir)
+
+    q = sessionize_stream(spark, str(sf), gap_minutes=30,
+                          event_time_flush=True, watermark="1 hour",
+                          query_name="sessions_late")
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event (00:05, admitted by the 1h watermark)
+        # plus 00:55 — 35 min after the true session end 00:20, so the
+        # batch rule closes session 1 as (00:00, 00:20, n=3)
+        b2 = pd.DataFrame([(1, base + pd.Timedelta(minutes=5), "a", 1.0),
+                           (1, base + pd.Timedelta(minutes=55), "a", 1.0)],
+                          columns=cols)
+        spark.createDataFrame(b2).coalesce(1).write.mode("append") \
+            .parquet(evdir)
+        q.processAllAvailable()
+        got = spark.table("sessions_late").toPandas()
+    finally:
+        q.stop()
+
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r.n_events == 3
+    assert abs(r.session_start - base.timestamp()) < 1e-3
+    assert abs(r.session_end
+               - (base + pd.Timedelta(minutes=20)).timestamp()) < 1e-3
+
+
+def test_sessionize_stream_rejects_ignored_watermark(spark, tmp_path):
+    import pytest
+
+    from yalder_spark.streaming.events import sessionize_stream
+
+    with pytest.raises(ValueError, match="watermark"):
+        sessionize_stream(spark, str(tmp_path), gap_minutes=30,
+                          watermark="1 hour")

@@ -128,7 +128,16 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
     (EventTimeTimeout + ``withWatermark``): a session closes when the
     event-time WATERMARK passes ``last_event + gap`` — the exact batch
     gap rule, independent of arrival rate or wall clock, so a backfill
-    replayed at any speed produces the same sessions.  The flush
+    replayed PER-USER IN ORDER at any speed produces the same
+    sessions.  Out-of-order delivery is the documented degradation,
+    not silent corruption: at the default 0-second watermark the
+    engine drops late rows before the operator sees them, and with a
+    larger watermark an admitted late row folds into the current open
+    session (start may extend backward, the end never rewinds) — a
+    session already emitted cannot be re-opened, which is inherent to
+    emit-on-close streaming (full retro-merge requires holding every
+    session in state until its watermark, i.e. the built-in
+    ``session_window`` aggregation shape).  The flush
     deadline is clamped to just past the current watermark (Spark
     rejects timeout timestamps at/below it) — a clamped session was by
     definition already gap-expired when its last batch committed.
@@ -144,6 +153,10 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
     if idle_flush_ms is not None and event_time_flush:
         raise ValueError("idle_flush_ms and event_time_flush are "
                          "mutually exclusive")
+    if watermark != "0 seconds" and not event_time_flush:
+        raise ValueError("watermark is only applied with "
+                         "event_time_flush=True; it would be silently "
+                         "ignored otherwise")
     gap_s = gap_minutes * 60
     has_timeout = idle_flush_ms is not None or event_time_flush
     cols = ["user_id", "session_start", "session_end", "n_events"]
@@ -166,6 +179,17 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
         all_ts = sorted(t for pdf in pdfs for t in pdf["ts"])
         for ts in all_ts:
             t = ts.timestamp()
+            if last is not None and t < last:
+                # cross-batch late arrival (possible when a nonzero
+                # watermark admits out-of-order rows): fold into the
+                # CURRENT session without rewinding its end — an
+                # already-emitted earlier session cannot be re-opened,
+                # and rewinding `last` would corrupt later gap
+                # decisions.  With the default 0-second watermark the
+                # engine drops such rows before we see them.
+                start = min(start, t)
+                n += 1
+                continue
             if last is not None and t - last > gap_s:
                 rows.append((user_id, start, last, n))
                 start, n = t, 0
