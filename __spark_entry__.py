@@ -243,6 +243,16 @@ def _q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(spark, sf_dir, gap_minutes=30)
 
 
+def _q_s5_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s5 — gap sessionization via the BUILT-IN session_window
+    (all-JVM, codegen'd; the prefer-the-built-in counterpart to s2's
+    hand-rolled window-sum plan).  Window end = last event + gap, so
+    the oracle emits max(ts) + 30 min."""
+    from yalder_spark.streaming.events import session_windows_native
+
+    return session_windows_native(spark, sf_dir, gap_minutes=30)
+
+
 def _q_s4_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """s4 — the STREAMING exact-dedup operator driven to completion on
     the documents table (round-3 VERDICT #5: the one operator with no
@@ -623,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_sessionize": _q_ev_sessionize,
         "s1_events_windowed": _q_ev_windowed,
         "s4_dedup_stream": _q_s4_dedup_stream,
+        "s5_session_window": _q_s5_session_window,
         "m1_image_features": _q_m_image_features,
         "m2_frame_sample": _q_m2_frame_sample,
         "m3_audio_features": _q_m3_audio_features,
@@ -1247,6 +1258,26 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "s5_session_window": """
+            WITH x AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                               > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x)
+            SELECT user_id,
+                   epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) + 1800000000 AS session_end_us,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start_us
         """,
         "s4_dedup_stream": """
             SELECT content_sha256, doc_id, lang FROM (

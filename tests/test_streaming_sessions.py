@@ -163,3 +163,48 @@ def test_sessionize_stream_rejects_ignored_watermark(spark, tmp_path):
     with pytest.raises(ValueError, match="watermark"):
         sessionize_stream(spark, str(tmp_path), gap_minutes=30,
                           watermark="1 hour")
+
+
+def test_session_window_native_gap_edge_semantics(spark, tmp_path):
+    """Pin the built-in session_window's merge rule at EXACTLY the gap
+    boundary against the lag-rule the oracles use (diff <= gap merges,
+    diff > gap splits) — if Spark treated adjacent windows as separate,
+    the s5 oracle pair would silently depend on no exact-gap data."""
+    from yalder_spark.streaming.events import session_windows_native
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [(1, base, "a", 1.0),
+            (1, base + pd.Timedelta(minutes=30), "a", 1.0),        # == gap
+            (1, base + pd.Timedelta(minutes=60, seconds=1), "a", 1.0)]  # > gap
+    sf = tmp_path / "sfdir"
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+
+    got = [(r.n_events, r.session_start_us, r.session_end_us)
+           for r in session_windows_native(spark, str(sf)).collect()]
+    b = int(base.timestamp() * 1_000_000)
+    us = lambda td: int(td.total_seconds() * 1_000_000)  # noqa: E731
+    gap = us(pd.Timedelta(minutes=30))
+    # exact-gap event MERGES (2 events); the >gap event splits
+    assert got == [
+        (2, b, b + us(pd.Timedelta(minutes=30)) + gap),
+        (1, b + us(pd.Timedelta(minutes=60, seconds=1)),
+         b + us(pd.Timedelta(minutes=60, seconds=1)) + gap),
+    ], got
+
+
+def test_session_window_native_matches_hand_rolled_boundaries(spark):
+    """s5 (built-in) and s2 (hand-rolled) must agree on session
+    membership over the real events table: same (user, n_events,
+    start) multiset; s5's end = s2's end + gap."""
+    from yalder_spark.streaming.events import (session_windows_native,
+                                               sessionize_batch)
+
+    SF = "/root/testdata/sf0.001"
+    s5 = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+          for r in session_windows_native(spark, SF).collect()}
+    gap = 30 * 60 * 1_000_000
+    s2 = {(r.user_id, r.session_start_us, r.session_end_us + gap, r.n_events)
+          for r in sessionize_batch(spark, SF).collect()}
+    assert s5 == s2 and len(s5) > 0

@@ -89,6 +89,44 @@ def sessionize_batch(spark: SparkSession, sf_dir: str,
     )
 
 
+def session_windows_native(spark: SparkSession, sf_dir: str,
+                           gap_minutes: int = 30) -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN ``session_window``
+    (s5 driver query) — the whole operator stays JVM-side in
+    whole-stage codegen: groupBy(session_window(ts, gap), user_id)
+    merges events whose windows overlap, one shuffle on the grouping
+    key, no Python anywhere.  This is the "prefer the built-in
+    operator" counterpart to the two hand-rolled forms
+    (`sessionize_batch`, the declarative window-sum plan, and
+    `sessionize_stream`, the applyInPandasWithState demo): same gap
+    rule (events <= gap apart share a session), and in STREAMING mode
+    the same groupBy(session_window) expression is the engine's
+    watermark-managed session aggregation — the full retro-merge shape
+    the stream docstring references.
+
+    Output: (user_id, session_start_us, session_end_us, n_events)
+    where start = first event, end = LAST EVENT + GAP (the built-in's
+    window-end semantics — differs from `sessionize_batch`, whose end
+    is the last event itself; the oracle replicates max(ts) + gap).
+    Timestamps are epoch-µs BIGINT computed on NTZ via
+    ``timestamp_diff`` (the frozen tz-independence rule)."""
+    epoch_ntz = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        ev.groupBy(sw.alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.timestamp_diff("MICROSECOND", epoch_ntz, F.col("sw.start"))
+            .alias("session_start_us"),
+            F.timestamp_diff("MICROSECOND", epoch_ntz, F.col("sw.end"))
+            .alias("session_end_us"),
+            "n_events")
+        .orderBy("user_id", "session_start_us")
+    )
+
+
 def sessionize_stream(spark: SparkSession, sf_dir: str,
                       gap_minutes: int = 30,
                       idle_flush_ms: int | None = None,
