@@ -208,3 +208,43 @@ def test_session_window_native_matches_hand_rolled_boundaries(spark):
     s2 = {(r.user_id, r.session_start_us, r.session_end_us + gap, r.n_events)
           for r in sessionize_batch(spark, SF).collect()}
     assert s5 == s2 and len(s5) > 0
+
+
+def test_sessionize_stream_drops_late_event_older_than_gap(spark, tmp_path):
+    """A late event more than the gap before the open session's start
+    must be DROPPED, not folded — folding would emit a session whose
+    internal span violates the gap invariant."""
+    from yalder_spark.streaming.events import sessionize_stream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    cols = ["user_id", "ts", "event_type", "value"]
+    b1 = pd.DataFrame([(1, base + pd.Timedelta(hours=2), "a", 1.0)],
+                      columns=cols)
+    sf = tmp_path / "sfdir"
+    evdir = str(sf / "events.parquet")
+    spark.createDataFrame(b1).coalesce(1).write.parquet(evdir)
+
+    q = sessionize_stream(spark, str(sf), gap_minutes=30,
+                          event_time_flush=True, watermark="6 hours",
+                          query_name="sessions_stray")
+    try:
+        q.processAllAvailable()
+        # a stray from 2h earlier (> gap before the open start) plus a
+        # session-closing event
+        b2 = pd.DataFrame(
+            [(1, base, "a", 1.0),
+             (1, base + pd.Timedelta(hours=4), "a", 1.0)], columns=cols)
+        spark.createDataFrame(b2).coalesce(1).write.mode("append") \
+            .parquet(evdir)
+        q.processAllAvailable()
+        got = spark.table("sessions_stray").toPandas()
+    finally:
+        q.stop()
+
+    assert len(got) == 1
+    r = got.iloc[0]
+    # the 02:00 session closed by the 04:00 event: the 00:00 stray is
+    # gone, start unchanged
+    assert r.n_events == 1
+    assert abs(r.session_start
+               - (base + pd.Timedelta(hours=2)).timestamp()) < 1e-3

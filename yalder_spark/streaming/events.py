@@ -110,7 +110,8 @@ def session_windows_native(spark: SparkSession, sf_dir: str,
     is the last event itself; the oracle replicates max(ts) + gap).
     Timestamps are epoch-µs BIGINT computed on NTZ via
     ``timestamp_diff`` (the frozen tz-independence rule)."""
-    epoch_ntz = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+    from yalder_spark.operators.temporal import ntz_to_us
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     sw = F.session_window("ts", f"{gap_minutes} minutes")
     return (
@@ -118,10 +119,8 @@ def session_windows_native(spark: SparkSession, sf_dir: str,
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.timestamp_diff("MICROSECOND", epoch_ntz, F.col("sw.start"))
-            .alias("session_start_us"),
-            F.timestamp_diff("MICROSECOND", epoch_ntz, F.col("sw.end"))
-            .alias("session_end_us"),
+            ntz_to_us("sw.start").alias("session_start_us"),
+            ntz_to_us("sw.end").alias("session_end_us"),
             "n_events")
         .orderBy("user_id", "session_start_us")
     )
@@ -131,7 +130,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
                       gap_minutes: int = 30,
                       idle_flush_ms: int | None = None,
                       event_time_flush: bool = False,
-                      watermark: str = "0 seconds",
+                      watermark: str | None = None,
                       query_name: str = "sessions"):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user session aggregation with a gap timeout — the
@@ -191,10 +190,12 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
     if idle_flush_ms is not None and event_time_flush:
         raise ValueError("idle_flush_ms and event_time_flush are "
                          "mutually exclusive")
-    if watermark != "0 seconds" and not event_time_flush:
+    if watermark is not None and not event_time_flush:
         raise ValueError("watermark is only applied with "
                          "event_time_flush=True; it would be silently "
                          "ignored otherwise")
+    if event_time_flush and watermark is None:
+        watermark = "0 seconds"
     gap_s = gap_minutes * 60
     has_timeout = idle_flush_ms is not None or event_time_flush
     cols = ["user_id", "session_start", "session_end", "n_events"]
@@ -223,10 +224,15 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
                 # CURRENT session without rewinding its end — an
                 # already-emitted earlier session cannot be re-opened,
                 # and rewinding `last` would corrupt later gap
-                # decisions.  With the default 0-second watermark the
-                # engine drops such rows before we see them.
-                start = min(start, t)
-                n += 1
+                # decisions.  The fold is GAP-BOUNDED: an event more
+                # than the gap before the open session's start belongs
+                # to some earlier (possibly emitted) session, and
+                # folding it would emit a row violating the gap
+                # invariant — it is dropped instead, the same fate the
+                # default 0-second watermark gives every late row.
+                if start - t <= gap_s:
+                    start = min(start, t)
+                    n += 1
                 continue
             if last is not None and t - last > gap_s:
                 rows.append((user_id, start, last, n))
