@@ -253,6 +253,16 @@ def _q_s5_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows_native(spark, sf_dir, gap_minutes=30)
 
 
+def _q_x10_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x10 — TF-IDF top-5 terms per document (smoothed idf, frozen
+    whitespace tokenizer); the rounded score orders the ranking so
+    both engines agree on ties."""
+    from yalder_spark.operators.textstats import tfidf_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(d, "text", "doc_id", k=5)
+
+
 def _q_s4_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """s4 — the STREAMING exact-dedup operator driven to completion on
     the documents table (round-3 VERDICT #5: the one operator with no
@@ -634,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_events_windowed": _q_ev_windowed,
         "s4_dedup_stream": _q_s4_dedup_stream,
         "s5_session_window": _q_s5_session_window,
+        "x10_tfidf": _q_x10_tfidf,
         "m1_image_features": _q_m_image_features,
         "m2_frame_sample": _q_m2_frame_sample,
         "m3_audio_features": _q_m3_audio_features,
@@ -1258,6 +1269,29 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "x10_tfidf": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                       AS term
+              FROM documents WHERE length(trim(text)) > 0),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM w GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*)::BIGINT AS df_t
+                      FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * (ln((n.n_docs + 1) / (df_t + 1.0)) + 1),
+                           6) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term ASC)::BIGINT AS rk
+                  FROM scored)
+            SELECT doc_id, term, tf, tfidf, rk
+            FROM r WHERE rk <= 5 ORDER BY doc_id, rk
         """,
         "s5_session_window": """
             WITH x AS (

@@ -547,3 +547,25 @@ def test_cc_star_self_loops_and_singletons(spark):
     got = {(r.doc_id, r.cluster_rep) for r in
            neardup_clusters(pairs, algorithm="star").collect()}
     assert got == {(5, 5), (1, 1), (2, 1)}
+
+
+def test_tfidf_topk_known_values(spark):
+    """x10 against hand-computed smoothed tf-idf on a 3-doc corpus."""
+    import math
+
+    from yalder_spark.operators.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        "doc_id long, text string")
+    got = [(r.doc_id, r.term, r.tf, r.tfidf, r.rk)
+           for r in tfidf_topk(docs, k=5).collect()]
+    rare = round(math.log(4 / 2) + 1, 6)       # df 1: apple/cherry/durian
+    common = round(math.log(4 / 3) + 1, 6)     # df 2: banana
+    assert got == [
+        (1, "apple", 2, round(2 * (math.log(2) + 1), 6), 1),
+        (1, "banana", 1, common, 2),
+        (2, "cherry", 1, rare, 1),
+        (2, "banana", 1, common, 2),
+        (3, "durian", 1, rare, 1),
+    ], got

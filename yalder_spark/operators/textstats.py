@@ -264,3 +264,43 @@ def length_quantiles(df: DataFrame, value_col: str = "n_chars",
             .agg(pcts.alias("_q"))
             .select("lang", *cols)
             .orderBy("lang"))
+
+
+def tfidf_topk(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """x10 — TF-IDF top-k terms per document, fully declarative (no
+    UDF): tf = term count per (doc, term) over the frozen `ws_tokens`
+    whitespace rule; document frequency from the same relation;
+    smoothed idf = ln((N + 1) / (df_t + 1)) + 1; score rounded to 6
+    and ranked (score desc, term asc — the rounded value orders, so
+    both engines rank identically).
+
+    Scale shape: ONE big shuffle on (doc, term) for tf — the same
+    cost as word counting — then a second small aggregate over the
+    (term, df) relation (vocabulary-sized) joined back BY TERM; the
+    one-row corpus count rides a broadcast cross join.  The df join
+    deliberately stays a shuffle join: at web scale the vocabulary's
+    Zipf tail makes the df relation too big to broadcast (hash terms
+    to int64 to slim the shuffle if term strings dominate bytes).
+    Output: (doc_id, term, tf, tfidf, rk) with BIGINT integers."""
+    from pyspark.sql import Window as W
+
+    toks, _ = ws_tokens(text_col)
+    words = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+             .select(F.col(id_col), F.explode(toks).alias("term")))
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(
+            F.col("tf") * (F.log((F.col("n_docs") + 1)
+                                 / (F.col("df_t") + 1)) + 1), 6)))
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
+                                      F.col("term").asc())
+    return (scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
+                    "tfidf", "rk")
+            .orderBy(id_col, "rk"))
