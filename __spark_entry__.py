@@ -253,6 +253,15 @@ def _q_s5_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows_native(spark, sf_dir, gap_minutes=30)
 
 
+def _q_s6_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s6 — sliding-window counts (1 h window, 15 min slide): every
+    event contributes to 4 overlapping windows; integer cents keep the
+    sums exact across engines."""
+    from yalder_spark.streaming.events import sliding_counts_batch
+
+    return sliding_counts_batch(spark, sf_dir, "1 hour", "15 minutes")
+
+
 def _q_x10_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x10 — TF-IDF top-5 terms per document (smoothed idf, frozen
     whitespace tokenizer); the rounded score orders the ranking so
@@ -645,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_dedup_stream": _q_s4_dedup_stream,
         "s5_session_window": _q_s5_session_window,
         "x10_tfidf": _q_x10_tfidf,
+        "s6_sliding_window": _q_s6_sliding_window,
         "m1_image_features": _q_m_image_features,
         "m2_frame_sample": _q_m2_frame_sample,
         "m3_audio_features": _q_m3_audio_features,
@@ -1269,6 +1279,18 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "s6_sliding_window": """
+            WITH g AS (SELECT unnest(range(4)) AS i),
+            w AS (
+              SELECT time_bucket(INTERVAL '15 minutes', e.ts)
+                       - i * INTERVAL '15 minutes' AS window_start,
+                     e.event_type,
+                     CAST(round(e.value * 100, 0) AS BIGINT) AS cents
+              FROM events e CROSS JOIN g)
+            SELECT window_start, event_type,
+                   count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents
+            FROM w GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "x10_tfidf": r"""
             WITH w AS (

@@ -248,3 +248,23 @@ def test_sessionize_stream_drops_late_event_older_than_gap(spark, tmp_path):
     assert r.n_events == 1
     assert abs(r.session_start
                - (base + pd.Timedelta(hours=2)).timestamp()) < 1e-3
+
+
+def test_sliding_window_expansion_and_tumbling_consistency(spark):
+    """s6: every event lands in exactly width/slide = 4 windows, and
+    the hour-aligned slice of the sliding output equals the tumbling
+    s1 counts."""
+    from pyspark.sql import functions as F
+
+    from yalder_spark.streaming.events import (sliding_counts_batch,
+                                               windowed_counts_batch)
+
+    SF = "/root/testdata/sf0.001"
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    sl = sliding_counts_batch(spark, SF)
+    assert sl.agg(F.sum("n")).collect()[0][0] == 4 * n_events
+    aligned = {(r.window_start, r.event_type): r.n for r in
+               sl.filter(F.minute("window_start") == 0).collect()}
+    tumbling = {(r.window_start, r.event_type): r.n for r in
+                windowed_counts_batch(spark, SF).collect()}
+    assert aligned == tumbling and len(tumbling) > 0

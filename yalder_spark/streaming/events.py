@@ -25,6 +25,31 @@ def windowed_counts_batch(spark: SparkSession, sf_dir: str,
     )
 
 
+def sliding_counts_batch(spark: SparkSession, sf_dir: str,
+                         width: str = "1 hour",
+                         slide: str = "15 minutes") -> DataFrame:
+    """s6 — SLIDING-window counts via the built-in ``F.window(ts,
+    width, slide)`` (all-JVM; completes the window family next to
+    tumbling s1 and session s2/s5): each event lands in width/slide
+    overlapping windows — Spark expands them with a generator
+    projection, no shuffle beyond the one aggregate.  Value totals ride
+    as integer cents (``round(value*100)`` BIGINT) so the sums are
+    exact in both engines (the s3 rule — a float sum folds in
+    different orders across engines).  Windows are epoch-aligned in
+    both engines (Spark's default origin == DuckDB ``time_bucket``),
+    which the oracle's explicit slide-offset expansion relies on."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("cents",
+                      F.round(F.col("value") * 100, 0).cast("long"))
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "cents")
+        .orderBy("window_start", "event_type")
+    )
+
+
 def windowed_counts_stream(spark: SparkSession, sf_dir: str,
                            width: str = "1 hour",
                            watermark: str = "2 hours"):
