@@ -217,3 +217,32 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_new_window_and_tfidf_queries_are_all_jvm(spark):
+    """s5 (session_window), s6 (sliding window), x10 (TF-IDF) must stay
+    entirely JVM-side — no Python evaluation nodes anywhere in the
+    plan (the round-4 built-in-operator additions)."""
+    import __spark_entry__ as entry
+
+    for name in ("s5_session_window", "s6_sliding_window", "x10_tfidf"):
+        plan = (entry.queries()[name](spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        for marker in ("BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas", "MapInPandas",
+                       "PythonUDF"):
+            assert marker not in plan, f"{name}: {marker} in plan"
+
+
+def test_tfidf_df_join_is_not_broadcast(spark):
+    """x10's term-df join must stay a shuffle join: at web scale the
+    vocabulary's Zipf tail makes the df relation unbroadcastable, and
+    the operator should not depend on auto-broadcast estimates."""
+    from yalder_spark.operators.textstats import tfidf_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (tfidf_topk(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the one allowed broadcast is the 1-row corpus-count cross join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" not in plan, plan[:900]

@@ -279,9 +279,12 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
     cost as word counting — then a second small aggregate over the
     (term, df) relation (vocabulary-sized) joined back BY TERM; the
     one-row corpus count rides a broadcast cross join.  The df join
-    deliberately stays a shuffle join: at web scale the vocabulary's
-    Zipf tail makes the df relation too big to broadcast (hash terms
-    to int64 to slim the shuffle if term strings dominate bytes).
+    is FORCED to shuffle-hash: the df relation descends from the
+    token explode, so Spark's size estimate (pre-explode scan stats)
+    is systematically low — auto-broadcast would happily broadcast a
+    web-scale Zipf vocabulary (the same estimate trap as d8's eval
+    shingles; plan-asserted in tests/test_plans.py).  Hash terms to
+    int64 to slim the shuffle if term strings dominate bytes.
     Output: (doc_id, term, tf, tfidf, rk) with BIGINT integers."""
     from pyspark.sql import Window as W
 
@@ -292,7 +295,7 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(dfreq.hint("shuffle_hash"), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(
             F.col("tf") * (F.log((F.col("n_docs") + 1)
