@@ -223,26 +223,27 @@ def test_new_window_and_tfidf_queries_are_all_jvm(spark):
     """s5 (session_window), s6 (sliding window), x10 (TF-IDF) must stay
     entirely JVM-side — no Python evaluation nodes anywhere in the
     plan (the round-4 built-in-operator additions)."""
-    import __spark_entry__ as entry
-
     for name in ("s5_session_window", "s6_sliding_window", "x10_tfidf"):
-        plan = (entry.queries()[name](spark, SF)
-                ._jdf.queryExecution().executedPlan().toString())
+        plan = _plan(entrymod.queries()[name](spark, SF))
         for marker in ("BatchEvalPython", "ArrowEvalPython",
                        "FlatMapGroupsInPandas", "MapInPandas",
-                       "PythonUDF"):
+                       "MapInArrow", "PythonUDF", "PythonUDTF"):
             assert marker not in plan, f"{name}: {marker} in plan"
 
 
-def test_tfidf_df_join_is_not_broadcast(spark):
-    """x10's term-df join must stay a shuffle join: at web scale the
-    vocabulary's Zipf tail makes the df relation unbroadcastable, and
-    the operator should not depend on auto-broadcast estimates."""
+def test_tfidf_single_explode_no_df_join(spark):
+    """x10 must tokenize/explode the corpus ONCE and compute document
+    frequency as a window over the tf relation — a separate df
+    aggregate joined back would recompute the scan+explode lineage
+    (column pruning defeats ReusedExchange) and invite the d8
+    auto-broadcast estimate trap on the post-explode relation."""
     from yalder_spark.operators.textstats import tfidf_topk
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = (tfidf_topk(docs)
-            ._jdf.queryExecution().executedPlan().toString())
-    # the one allowed broadcast is the 1-row corpus-count cross join
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
-    assert "BroadcastHashJoin" not in plan, plan[:900]
+    plan = _plan(tfidf_topk(docs))
+    assert _nodes(plan, "Generate") == 1, plan[:1200]
+    assert _nodes(plan, "BroadcastHashJoin") == 0, plan[:1200]
+    assert _nodes(plan, "SortMergeJoin") == 0, plan[:1200]
+    assert _nodes(plan, "ShuffledHashJoin") == 0, plan[:1200]
+    # the 1-row corpus-count cross join is the only join of any kind
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 1, plan[:1200]

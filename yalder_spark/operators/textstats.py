@@ -275,27 +275,26 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
     and ranked (score desc, term asc — the rounded value orders, so
     both engines rank identically).
 
-    Scale shape: ONE big shuffle on (doc, term) for tf — the same
-    cost as word counting — then a second small aggregate over the
-    (term, df) relation (vocabulary-sized) joined back BY TERM; the
-    one-row corpus count rides a broadcast cross join.  The df join
-    is FORCED to shuffle-hash: the df relation descends from the
-    token explode, so Spark's size estimate (pre-explode scan stats)
-    is systematically low — auto-broadcast would happily broadcast a
-    web-scale Zipf vocabulary (the same estimate trap as d8's eval
-    shingles; plan-asserted in tests/test_plans.py).  Hash terms to
-    int64 to slim the shuffle if term strings dominate bytes.
-    Output: (doc_id, term, tf, tfidf, rk) with BIGINT integers."""
+    Scale shape: the corpus is tokenized and exploded ONCE — document
+    frequency is a window count over the tf relation's term
+    partitioning (the d5 df-cut trick: NOT a separate aggregate joined
+    back, which would recompute the whole scan+explode lineage for the
+    second subtree — column pruning defeats ReusedExchange — and whose
+    join side Spark would mis-broadcast from pre-explode stats, the
+    d8 estimate trap).  Three shuffles of the (doc, term) relation
+    (tf agg, term window, doc rank window), zero joins except the
+    1-row corpus-count cross; plan-asserted in tests/test_plans.py.
+    Hash terms to int64 to slim the shuffles if term strings dominate
+    bytes.  Output: (doc_id, term, tf, tfidf, rk) BIGINT integers."""
     from pyspark.sql import Window as W
 
     toks, _ = ws_tokens(text_col)
     words = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
              .select(F.col(id_col), F.explode(toks).alias("term")))
     tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dfreq.hint("shuffle_hash"), "term")
+        tf.withColumn("df_t", F.count("*").over(W.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(
             F.col("tf") * (F.log((F.col("n_docs") + 1)
