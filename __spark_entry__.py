@@ -638,23 +638,39 @@ def _q_q1_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from yalder_spark.operators import relational as R
 
-    # ORDER MATTERS: the round-3 driver checked only the FIRST 50
-    # registered queries, so the dict is ordered least-recently-
-    # driver-verified FIRST — the r3-unchecked tail (s2, the once-red
-    # cell, then s1/m*/e*/x4) leads, long-stable relational rows
-    # trail.  tests/test_entry_contract.py pins that every query
-    # without a green row in the latest CORRECTNESS file sits inside
-    # the first-50 prefix.
+    # ORDER MATTERS: the driver checks only the FIRST 50 registered
+    # queries, so the dict is ordered least-recently-driver-verified
+    # FIRST — round-5 rotation: s2 (red in r4, fixed oracle cast)
+    # leads, then the 14 relational queries green-in-r3 but rotated
+    # outside r4's window, then the r4-only-verified families; the
+    # doubly-verified (r3+r4) stable tail rotates out this round.
+    # tests/test_entry_contract.py pins that every query without a
+    # green row in the latest CORRECTNESS file sits inside the
+    # first-50 prefix.
     return {
-        # r3-unchecked (driver window cut at 50): streaming-shaped
-        # batch queries (stream equivalence pytested), multimodal,
-        # ANN, repetition
+        # red in r4 (oracle HUGEINT cast bug, fixed) — stays first
         "s2_sessionize": _q_ev_sessionize,
+        # relational (SURVEY §2.E): green r3, unchecked r4 — rotate in
+        "r2_agg": R.q_agg,
+        "r3_topk_window": R.q_topk_window,
+        "r4_broadcast_join": R.q_broadcast_join,
+        "r4b_join_agg": R.q_join_agg,
+        "r5_anti_join": R.q_anti_join,
+        "r5b_semi_join": R.q_semi_join,
+        "r5c_anti_join_pred": R.q_anti_join_pred,
+        "r6_sort_limit": R.q_sort_limit,
+        "r7_union": R.q_union,
+        "r9_rollup": R.q_rollup,
+        "r10_pivot": R.q_pivot,
+        "r11_having_scalar": R.q_having_scalar,
+        "r12_cube": R.q_cube,
+        "r15_lag_delta": R.q_lag_delta,
+        # verified once, in r4 (streaming, multimodal, ANN, x4/x10)
         "s1_events_windowed": _q_ev_windowed,
         "s4_dedup_stream": _q_s4_dedup_stream,
         "s5_session_window": _q_s5_session_window,
-        "x10_tfidf": _q_x10_tfidf,
         "s6_sliding_window": _q_s6_sliding_window,
+        "x10_tfidf": _q_x10_tfidf,
         "m1_image_features": _q_m_image_features,
         "m2_frame_sample": _q_m2_frame_sample,
         "m3_audio_features": _q_m3_audio_features,
@@ -670,17 +686,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training dataflow (SURVEY §2.B)
         "t2_ngram_counts": _q_t2_ngram_counts,
         "t34_model_table": _q_t34_model_table,
-        # quality filter (SURVEY §2.C)
+        # quality filter flagship rows (SURVEY §2.C)
         "q1_perplexity": _q_q1_perplexity,
-        "q2_line_stats": _q_q2_line_stats,
-        "q3_alpha_ratio": _q_q3_alpha_ratio,
-        "q4_autogen": _q_q4_autogen,
-        "q5_pii_scrub": _q_q5_pii_scrub,
-        "q6_tox_scrub": _q_q6_tox_scrub,
-        "q7_keep_heuristic": _q_q7_keep_heuristic,
-        "q8_sha256": _q_q8_sha256,
         "pipeline_flagship": _q_pipeline_flagship,
-        # training-data ops: dedup / similarity / textstats / multimodal
+        # training-data ops: dedup / sampling / temporal
         "d1_exact_dedup": _q_d1_exact_dedup,
         "d2_minhash_neardup": _q_d2_minhash,
         "d3_simhash": _q_d3_simhash,
@@ -691,6 +700,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_stratified_sample": _q_d7_stratified_sample,
         "d8_decontaminate": _q_d8_decontaminate,
         "d9_balanced_sample": _q_d9_balanced_sample,
+        "r1_filter_project": R.q_filter_project,
+        "r13_asof_join": _q_r13_asof_join,
+        "r14_range_join": _q_r14_range_join,
+        "s3_time_rollup": _q_s3_time_rollup,
+        "x9_word_freqs": _q_x9_word_freqs,
+        # --- doubly-verified (green r3 AND r4) tail: rotates outside
+        # the 50-query window this round; all golden-pinned by pytest
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
         "x3_langid_stopword": _q_t_langid_stopword,
@@ -698,26 +714,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_length_quantiles": _q_x6_length_quantiles,
         "x7_pack_sequences": _q_x7_pack_sequences,
         "x8_chunk_documents": _q_x8_chunk_documents,
-        "x9_word_freqs": _q_x9_word_freqs,
-        "r13_asof_join": _q_r13_asof_join,
-        "r14_range_join": _q_r14_range_join,
-        "s3_time_rollup": _q_s3_time_rollup,
-        # relational (SURVEY §2.E) — stable since r1, trail the window
-        "r1_filter_project": R.q_filter_project,
-        "r2_agg": R.q_agg,
-        "r3_topk_window": R.q_topk_window,
-        "r4_broadcast_join": R.q_broadcast_join,
-        "r4b_join_agg": R.q_join_agg,
-        "r5_anti_join": R.q_anti_join,
-        "r5b_semi_join": R.q_semi_join,
-        "r5c_anti_join_pred": R.q_anti_join_pred,
-        "r6_sort_limit": R.q_sort_limit,
-        "r7_union": R.q_union,
-        "r9_rollup": R.q_rollup,
-        "r10_pivot": R.q_pivot,
-        "r11_having_scalar": R.q_having_scalar,
-        "r12_cube": R.q_cube,
-        "r15_lag_delta": R.q_lag_delta,
+        "q2_line_stats": _q_q2_line_stats,
+        "q3_alpha_ratio": _q_q3_alpha_ratio,
+        "q4_autogen": _q_q4_autogen,
+        "q5_pii_scrub": _q_q5_pii_scrub,
+        "q6_tox_scrub": _q_q6_tox_scrub,
+        "q7_keep_heuristic": _q_q7_keep_heuristic,
+        "q8_sha256": _q_q8_sha256,
     }
 
 
@@ -1353,8 +1356,15 @@ def oracle_sql() -> dict[str, str]:
               FROM events),
             s AS (
               SELECT user_id, ts,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                     -- CAST is load-bearing (r4 driver hash-fail root
+                     -- cause): DuckDB integer sum() yields HUGEINT
+                     -- (Arrow decimal128(38,0)) while Spark emits
+                     -- BIGINT — the driver's value hash is
+                     -- type-sensitive, and fetchall() coercion hides
+                     -- the divergence from the local harness.
+                     CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_id
               FROM x)
             SELECT user_id, session_id,
                    epoch_us(min(ts)) AS session_start_us,

@@ -150,15 +150,35 @@ def test_norm_sql_matches_python_on_unicode(ddb):
         assert duck == normalize(doc), repr(doc)
 
 
-def test_no_session_tz_dependent_output_types(spark):
+# The driver's value hash is TYPE-sensitive (round-4 lesson: the s2
+# oracle's uncast window sum came back DuckDB HUGEINT / Arrow
+# decimal128(38,0) vs Spark BIGINT and hash-failed despite numerically
+# identical values — and fetchall()'s HUGEINT→int coercion hid it from
+# the local value comparison forever).  Only these cross-engine pairs
+# have driver-green evidence; anything else is a lint failure.
+_SAFE_TYPE_PAIRS = {
+    ("BIGINT", "bigint"),
+    ("INTEGER", "int"),          # parquet int32 both sides (r7/r11)
+    ("DOUBLE", "double"),
+    ("VARCHAR", "string"),
+    ("BOOLEAN", "boolean"),
+    ("TIMESTAMP", "timestamp_ntz"),  # tz-independent pair (s1/s6)
+}
+
+
+def test_no_session_tz_dependent_output_types(spark, ddb):
     """Lint every driver query's OUTPUT schema for dialect-fragile
-    types (VERDICT r2 item 4): a session-local TIMESTAMP (LTZ) column
-    collects different values under different driver session timezones
-    — exactly how s2_sessionize hash-failed in round 2.  TIMESTAMP_NTZ
-    is allowed (tz-independent wall-clock, matches DuckDB TIMESTAMP);
-    LTZ is banned from oracle-paired outputs."""
+    types (VERDICT r2 item 4 + r4 item 1): a session-local TIMESTAMP
+    (LTZ) column collects different values under different driver
+    session timezones — exactly how s2_sessionize hash-failed in round
+    2 — and a DuckDB HUGEINT/DECIMAL output hashes differently from
+    Spark BIGINT even when every value matches — exactly how
+    s2_sessionize hash-failed AGAIN in round 4.  For oracle-paired
+    queries, every (duckdb_type, spark_dtype) column pair must sit in
+    the driver-proven-safe allowlist."""
     from pyspark.sql.types import FloatType, TimestampType
 
+    oracle = entrymod.oracle_sql()
     for name, q in entrymod.queries().items():
         sdf = q(spark, "/root/testdata/sf0.001")
         for f in sdf.schema.fields:
@@ -170,6 +190,21 @@ def test_no_session_tz_dependent_output_types(spark):
             assert not isinstance(f.dataType, FloatType), (
                 f"{name}.{f.name} is FLOAT — cast to double before "
                 f"rounding or the value-hash mismatches the oracle")
+        sql = oracle.get(name)
+        if sql is None:
+            continue
+        rel = ddb.sql(sql)
+        duck_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+        spark_types = dict(zip(sdf.columns, (f.dataType.simpleString()
+                                             for f in sdf.schema.fields)))
+        assert set(duck_types) == set(spark_types), f"{name}: column sets"
+        for col, dt in duck_types.items():
+            pair = (dt, spark_types[col])
+            assert pair in _SAFE_TYPE_PAIRS, (
+                f"{name}.{col}: oracle type {dt} vs Spark "
+                f"{spark_types[col]} is not a driver-proven-safe pair — "
+                f"cast both sides (DuckDB sum() → HUGEINT needs "
+                f"::BIGINT; window sums too)")
 
 
 def test_committed_artifacts_match_fixture_training():
