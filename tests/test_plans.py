@@ -231,19 +231,33 @@ def test_new_window_and_tfidf_queries_are_all_jvm(spark):
             assert marker not in plan, f"{name}: {marker} in plan"
 
 
-def test_tfidf_single_explode_no_df_join(spark):
-    """x10 must tokenize/explode the corpus ONCE and compute document
-    frequency as a window over the tf relation — a separate df
-    aggregate joined back would recompute the scan+explode lineage
-    (column pruning defeats ReusedExchange) and invite the d8
-    auto-broadcast estimate trap on the post-explode relation."""
+def test_tfidf_no_term_window_shared_tf(spark):
+    """x10 scale shape (VERDICT r4 #3 de-skew): document frequency must
+    NOT be a window partitioned by term — a stopword-grade term would
+    concentrate ≈n_docs rows into one buffering task at 10^9+ docs.
+    Required shape: tf persisted once (both consumers read the cache,
+    so the explode never recomputes), df as a groupBy(term) aggregate
+    (map-side partials kill the hot key) joined back via a FORCED
+    shuffle-hash join (never auto-broadcast from pre-explode stats —
+    the d8 estimate trap — and never a driver-sized vocab broadcast)."""
     from yalder_spark.operators.textstats import tfidf_topk
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(tfidf_topk(docs))
-    assert _nodes(plan, "Generate") == 1, plan[:1200]
-    assert _nodes(plan, "BroadcastHashJoin") == 0, plan[:1200]
-    assert _nodes(plan, "SortMergeJoin") == 0, plan[:1200]
-    assert _nodes(plan, "ShuffledHashJoin") == 0, plan[:1200]
-    # the 1-row corpus-count cross join is the only join of any kind
-    assert _nodes(plan, "BroadcastNestedLoopJoin") == 1, plan[:1200]
+    df = tfidf_topk(docs)
+    try:
+        plan = _plan(df)
+        # no window (or window-group-limit) keyed on term anywhere:
+        # every windowspec / group-limit partitions by doc_id only
+        assert not re.search(r"windowspecdefinition\(term", plan), plan[:1500]
+        assert not re.search(r"WindowGroupLimit \[term", plan), plan[:1500]
+        # df joins back as a shuffled hash join, never broadcast/SMJ
+        assert _nodes(plan, "ShuffledHashJoin") == 1, plan[:1500]
+        assert _nodes(plan, "BroadcastHashJoin") == 0, plan[:1500]
+        assert _nodes(plan, "SortMergeJoin") == 0, plan[:1500]
+        # the 1-row corpus-count cross join is the only broadcast join
+        assert _nodes(plan, "BroadcastNestedLoopJoin") == 1, plan[:1500]
+        # tf materializes once: both the probe side and the df build
+        # side read the same in-memory relation
+        assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
+    finally:
+        spark.catalog.clearCache()

@@ -267,7 +267,8 @@ def length_quantiles(df: DataFrame, value_col: str = "n_chars",
 
 
 def tfidf_topk(df: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id", k: int = 5) -> DataFrame:
+               id_col: str = "doc_id", k: int = 5,
+               cache_tf: bool = True) -> DataFrame:
     """x10 — TF-IDF top-k terms per document, fully declarative (no
     UDF): tf = term count per (doc, term) over the frozen `ws_tokens`
     whitespace rule; document frequency from the same relation;
@@ -275,26 +276,40 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
     and ranked (score desc, term asc — the rounded value orders, so
     both engines rank identically).
 
-    Scale shape: the corpus is tokenized and exploded ONCE — document
-    frequency is a window count over the tf relation's term
-    partitioning (the d5 df-cut trick: NOT a separate aggregate joined
-    back, which would recompute the whole scan+explode lineage for the
-    second subtree — column pruning defeats ReusedExchange — and whose
-    join side Spark would mis-broadcast from pre-explode stats, the
-    d8 estimate trap).  Three shuffles of the (doc, term) relation
-    (tf agg, term window, doc rank window), zero joins except the
-    1-row corpus-count cross; plan-asserted in tests/test_plans.py.
-    Hash terms to int64 to slim the shuffles if term strings dominate
-    bytes.  Output: (doc_id, term, tf, tfidf, rk) BIGINT integers."""
+    Scale shape (round-5 de-skew, VERDICT r4 #3): the corpus is
+    tokenized and exploded ONCE into the tf relation, which is
+    PERSISTED (``cache_tf``) so the two consumers below share one
+    materialization instead of recomputing the scan+explode lineage
+    (column pruning defeats ReusedExchange without it).  Document
+    frequency is ``tf.groupBy(term).count()`` — map-side partial
+    aggregation emits at most one row per distinct term per task, so a
+    stopword-grade term never concentrates its ≈n_docs (doc, term)
+    rows into a single task the way the previous
+    ``count(*) OVER (PARTITION BY term)`` window did (that window
+    buffers the whole hot partition in one task: straggler/OOM at
+    10^9+ docs).  The df table joins back on term with a FORCED
+    ``shuffle_hash`` hint — merely omitting a broadcast hint lets
+    Spark mis-broadcast the post-explode relation from pre-explode
+    stats (the d8 estimate trap), and at web scale the distinct-term
+    table (vocab + typos + URLs) can exceed driver memory, so
+    broadcast must be opt-in, not automatic.  The probe side streams
+    through the join (no per-key buffering), and AQE skew-join
+    handles residual hot-term partitions.  Shuffles: tf agg, df agg,
+    term join, doc rank window; the 1-row corpus-count cross is the
+    only broadcast.  Plan-asserted in tests/test_plans.py.
+    Output: (doc_id, term, tf, tfidf, rk) BIGINT integers."""
     from pyspark.sql import Window as W
 
     toks, _ = ws_tokens(text_col)
     words = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
              .select(F.col(id_col), F.explode(toks).alias("term")))
     tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    if cache_tf:
+        tf = tf.persist()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.withColumn("df_t", F.count("*").over(W.partitionBy("term")))
+        tf.join(dfreq.hint("shuffle_hash"), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(
             F.col("tf") * (F.log((F.col("n_docs") + 1)
