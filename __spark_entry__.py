@@ -296,6 +296,94 @@ def _q_s4_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("s4_dedup").orderBy("content_sha256")
 
 
+def _q_s7_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s7 — the EVENT-TIME-FLUSH streaming sessionizer
+    (``sessionize_stream(event_time_flush=True)``, round-4's
+    replay-correct applyInPandasWithState variant) driven to
+    completion on a deterministic TWO-BATCH replay of the events
+    table (VERDICT r4 #5: give the streaming session path the same
+    driver-evidence grade s4 got).
+
+    Replay: events are split at the midpoint timestamp into two
+    parquet batches (a global time split is per-user in-order, the
+    variant's replay-correctness precondition), then far-future
+    sentinel batches advance the watermark past every real session's
+    ``last_event + gap`` deadline so EventTimeTimeout flushes them
+    all — after which the emitted set must equal the batch gap rule
+    (the s2 oracle) exactly.  Sessions spanning the batch boundary
+    exercise the cross-batch state carry.
+
+    The stream runs under a FORCED UTC session timezone (saved and
+    restored): the operator's pandas path extracts epoch seconds from
+    the LTZ-cast ts, which collects as session-local wall clock — the
+    round-2 s2 lesson.  Forcing UTC for the duration of the run (all
+    values are computed inside it; the memory sink holds plain
+    doubles) makes the output identical under any driver timezone.
+    Output: epoch-µs BIGINT (doubles carry ≤0.13 µs error for
+    2024-era timestamps, so round(t*1e6) is exact)."""
+    import tempfile
+
+    from yalder_spark.streaming.events import sessionize_batch, sessionize_stream
+
+    try:
+        spark.catalog.dropTempView("s7_sessions")
+    except Exception:
+        pass
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    # NTZ literal (a bare datetime lit would be session-tz LTZ and the
+    # comparison against the NTZ ts column would shift with the driver
+    # timezone)
+    mid = F.to_timestamp_ntz(F.lit(
+        (lo + (hi - lo) / 2).strftime("%Y-%m-%d %H:%M:%S.%f")))
+    expected = sessionize_batch(spark, sf_dir, gap_minutes=30).count()
+
+    tmp = tempfile.mkdtemp(prefix="s7_replay_")
+    evdir = f"{tmp}/events.parquet"
+    ev.filter(F.col("ts") <= mid).coalesce(4).write.parquet(evdir)
+
+    def _sentinel(attempt: int) -> DataFrame:
+        return ev.agg(F.max("ts").alias("mx")).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.timestamp_add("DAY", F.lit(10 + attempt), F.col("mx")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("s7_sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"))
+
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    q = sessionize_stream(spark, tmp, gap_minutes=30,
+                          event_time_flush=True,
+                          query_name="s7_sessions")
+    try:
+        q.processAllAvailable()
+        ev.filter(F.col("ts") > mid).coalesce(4) \
+            .write.mode("append").parquet(evdir)
+        q.processAllAvailable()
+        # expired timeouts fire on a batch AFTER the watermark advance:
+        # bounded sentinel batches until every real session has flushed
+        for attempt in range(8):
+            _sentinel(attempt).coalesce(1).write.mode("append").parquet(evdir)
+            q.processAllAvailable()
+            n = (spark.table("s7_sessions")
+                 .filter(F.col("user_id") >= 0).count())
+            if n >= expected:
+                break
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.session.timeZone", saved_tz)
+    return (spark.table("s7_sessions")
+            .filter(F.col("user_id") >= 0)
+            .select("user_id",
+                    F.round(F.col("session_start") * 1e6)
+                    .cast("long").alias("session_start_us"),
+                    F.round(F.col("session_end") * 1e6)
+                    .cast("long").alias("session_end_us"),
+                    "n_events")
+            .orderBy("user_id", "session_start_us"))
+
+
 def _q_m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.multimodal import frame_sample, synth_media
 
@@ -650,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # red in r4 (oracle HUGEINT cast bug, fixed) — stays first
         "s2_sessionize": _q_ev_sessionize,
+        # NEW round 5: streaming sessionizer run to completion
+        "s7_sessionize_stream": _q_s7_sessionize_stream,
         # relational (SURVEY §2.E): green r3, unchecked r4 — rotate in
         "r2_agg": R.q_agg,
         "r3_topk_window": R.q_topk_window,
@@ -1372,6 +1462,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        # s7: the streaming sessionizer's emitted set, once the
+        # sentinel-advanced watermark has flushed every real session,
+        # must equal the batch gap rule — same CTE as s2, minus the
+        # session ordinal (streams emit sessions, not numbers; rows
+        # are keyed by (user, start) instead)
+        "s7_sessionize_stream": """
+            WITH x AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                               > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS sid
+              FROM x)
+            SELECT user_id,
+                   epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) AS session_end_us,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start_us
         """,
     }
     for name in _GOLDEN_QUERIES:
