@@ -1,16 +1,23 @@
 """Quantify d5's (jaccard_selfjoin) blowup boundary at sf0.1-scale
-shingle cardinality — round-3 VERDICT #6 — and measure the PPJoin
-prefix filter's candidate reduction (#7).
+shingle cardinality (round-3 VERDICT #6), and measure the PPJoin
+prefix + position filters' candidate reduction (round-4 #7 /
+round-5 #6).
+
+Every relation here is built by the operator's OWN code
+(`shingle_relation`, `ppjoin_candidates`) — round-4 ADVICE: the
+baseline side previously re-implemented the shingle spec inline, so
+published baseline counts could silently drift from the real path.
 
 For each max_df: the EXACT number of candidate-pair rows the shingle
 equi-join would emit is sum_s C(df_s, 2) over surviving shingles —
 computable from the df histogram alone, no join needed, so the curve
 extends past the point where actually running the join would be
-silly.  For moderate max_df the join IS run both ways (baseline vs
-prefix_filter=True) to record distinct candidate pairs, wall time,
-and output parity.
+silly.  At the operator default (max_df=100) and at a boilerplate-
+heavy cut (max_df=2000, where common shingles survive and prefix/
+position pruning has something to prune) the join IS run, recording
+distinct candidate pairs per filter stage, wall time, and parity.
 
-Writes BENCH/round4_d5.json.  Run alone (no concurrent Spark).
+Writes BENCH/round5_d5.json.  Run alone (no concurrent Spark).
 """
 
 import json
@@ -20,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window as W, functions as F  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from yalder_spark.pipeline import build_session  # noqa: E402
 
@@ -29,23 +36,19 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 
 
 def main():
+    from yalder_spark.operators.dedup import (jaccard_selfjoin,
+                                              ppjoin_candidates,
+                                              shingle_relation)
+
     spark = build_session("measure-d5", master=f"local[{CPUS}]",
                           shuffle_partitions=CPUS)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
     n_docs = docs.count()
 
-    # distinct 4-char shingles per doc, exploded — the d5 relation
-    n_pos = F.length("text") - 3
-    shingles = F.when(
-        n_pos >= 1,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), n_pos),
-            lambda i: F.substring(F.col("text"), i, F.lit(4)))),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select(F.col("doc_id").alias("id"),
-                     F.explode(shingles).alias("s"))
-    dfh = sh.groupBy("s").agg(F.count("*").alias("d")).cache()
-    n_exploded = sh.count()
+    # the operator's own uncut shingle relation feeds the df histogram
+    sh_all, _, _ = shingle_relation(docs, max_df=10**9)
+    dfh = sh_all.groupBy("s").agg(F.max("df_cnt").alias("d")).cache()
+    n_exploded = sh_all.count()
     n_distinct_shingles = dfh.count()
 
     curve = []
@@ -61,45 +64,54 @@ def main():
         })
         print(curve[-1], flush=True)
 
-    from yalder_spark.operators.dedup import jaccard_selfjoin
-
+    thr = 0.8
     runs = {}
     for pf in (False, True):
         t0 = time.monotonic()
-        out = jaccard_selfjoin(docs, threshold=0.8, max_df=100,
+        out = jaccard_selfjoin(docs, threshold=thr, max_df=100,
                                prefix_filter=pf)
         pairs = [(r.id_a, r.id_b, r.n_common, r.jaccard)
                  for r in out.collect()]
         runs[pf] = {"sec": round(time.monotonic() - t0, 3),
                     "n_pairs": len(pairs),
                     "pairs": sorted(pairs)}
-        print(pf, runs[pf]["sec"], runs[pf]["n_pairs"], flush=True)
+        print("prefix_filter", pf, runs[pf]["sec"], runs[pf]["n_pairs"],
+              flush=True)
     assert runs[False]["pairs"] == runs[True]["pairs"], "parity violated"
 
-    # candidate pairs each path verifies (distinct, pre-threshold);
-    # the PPJoin side calls the operator's OWN candidate pipeline so
-    # the published numbers can never drift from the code path
-    from yalder_spark.operators.dedup import ppjoin_candidates
-
-    shd = (sh.withColumn("df_cnt", F.count("*").over(W.partitionBy("s")))
-           .filter(F.col("df_cnt") <= 100))
-    base_cand = (shd.alias("a").join(
-        shd.alias("b"),
-        (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id"), F.col("b.id")).distinct().count())
-    thr = 0.8
-    sizes = shd.groupBy("id").agg(F.count("*").alias("sz"))
-    pp_cand = ppjoin_candidates(shd, sizes, thr).count()
+    # candidate pairs each stage admits (distinct, pre-verify), on the
+    # operator's own relations, at both df-cut regimes (500 is the
+    # largest cut whose exact baseline distinct is feasible here:
+    # 16.3M pair rows; 2000 → 169M rows OOMs a shared local JVM)
+    stages = {}
+    for max_df in (100, 500):
+        shd, _, sizes = shingle_relation(docs, max_df=max_df)
+        shd = shd.cache()
+        base = (shd.alias("a").join(
+            shd.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id"), F.col("b.id")).distinct().count())
+        prefix_only = ppjoin_candidates(shd, sizes, thr,
+                                        position_filter=False).count()
+        prefix_pos = ppjoin_candidates(shd, sizes, thr,
+                                       position_filter=True).count()
+        shd.unpersist()
+        stages[str(max_df)] = {
+            "candidates_baseline_distinct": base,
+            "candidates_prefix_length": prefix_only,
+            "candidates_prefix_length_position": prefix_pos,
+            "reduction_prefix": round(1 - prefix_only / max(base, 1), 4),
+            "reduction_with_position": round(1 - prefix_pos / max(base, 1), 4),
+        }
+        print(max_df, stages[str(max_df)], flush=True)
 
     out = {
         "sf_dir": SF_DIR, "cores": CPUS, "n_docs": n_docs,
         "n_exploded_rows": n_exploded,
         "n_distinct_shingles": n_distinct_shingles,
         "max_df_curve": curve,
-        "threshold": thr, "max_df": 100,
-        "candidates_baseline_distinct": base_cand,
-        "candidates_ppjoin_distinct": pp_cand,
-        "candidate_reduction": round(1 - pp_cand / max(base_cand, 1), 4),
+        "threshold": thr,
+        "candidate_stages_by_max_df": stages,
         "baseline_sec": runs[False]["sec"],
         "ppjoin_sec": runs[True]["sec"],
         "n_output_pairs": runs[False]["n_pairs"],
@@ -107,7 +119,7 @@ def main():
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
-    with open(os.path.join(repo, "BENCH", "round4_d5.json"), "w") as f:
+    with open(os.path.join(repo, "BENCH", "round5_d5.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 

@@ -37,7 +37,7 @@ def main() -> None:
                     help="near-dup drop rule: 'pairs' drops id_b of every "
                          "verified pair (one pass); 'clusters' runs connected "
                          "components and keeps exactly one doc per cluster")
-    ap.add_argument("--cc-algorithm", choices=("label", "star"),
+    ap.add_argument("--cc-algorithm", choices=("label", "star", "auto"),
                     default="label",
                     help="connected-components algorithm for "
                          "--survivor-rule clusters: 'label' propagation "

@@ -549,6 +549,34 @@ def test_cc_star_self_loops_and_singletons(spark):
     assert got == {(5, 5), (1, 1), (2, 1)}
 
 
+def test_cc_auto_escalates_to_star_on_chain_and_matches_label_on_dense(spark):
+    """algorithm='auto' (round-5 measured default): label propagation
+    under an 8-round budget, escalating to star only when the budget
+    trips.  On a 100-node chain (label needs ~100 rounds) auto must
+    CONVERGE (via star) instead of raising; on a dense graph it must
+    produce the identical clustering as plain label propagation."""
+    from yalder_spark.operators.dedup import neardup_clusters
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(100)],
+                                  "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_rep
+           for r in neardup_clusters(chain, algorithm="auto").collect()}
+    assert set(got.values()) == {0} and len(got) == 101
+
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(80)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    lab = {(r.doc_id, r.cluster_rep) for r in
+           neardup_clusters(pairs).collect()}
+    auto = {(r.doc_id, r.cluster_rep) for r in
+            neardup_clusters(pairs, algorithm="auto").collect()}
+    assert auto == lab
+
+    with pytest.raises(ValueError, match="algorithm"):
+        neardup_clusters(pairs, algorithm="nope")
+
+
 def test_tfidf_topk_known_values(spark):
     """x10 against hand-computed smoothed tf-idf on a 3-doc corpus."""
     import math

@@ -206,16 +206,66 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     )
 
 
+def shingle_relation(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", shingle_len: int = 4,
+                     max_df: int = 100):
+    """The frozen d5 shingle spec, factored to ONE source (round-4
+    ADVICE: scripts/measure_d5.py re-implemented it inline, so
+    published baseline candidate counts could silently drift from the
+    operator if the spec changed).  Returns ``(shd, sh, sizes)``:
+    the df-cut shingle relation (id, s, df_cnt), the same minus
+    df_cnt, and per-doc df-cut set sizes (id, sz).  Distinct
+    ``shingle_len``-char shingles via JVM higher-order fns; document
+    frequency as a window count over the shingle partitioning with
+    rows above ``max_df`` dropped (the quadratic-blowup skew guard —
+    BENCH/round4_d5.json quantifies the curve)."""
+    from pyspark.sql import Window as W
+
+    n_pos = F.length(text_col) - (shingle_len - 1)
+    shingles = F.when(
+        n_pos >= 1,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.substring(F.col(text_col), i, F.lit(shingle_len)))),
+    ).otherwise(F.array().cast("array<string>"))
+    shd = (df.select(F.col(id_col).alias("id"),
+                     F.explode(shingles).alias("s"))
+           .withColumn("df_cnt", F.count("*").over(W.partitionBy("s")))
+           .filter(F.col("df_cnt") <= max_df))
+    sh = shd.drop("df_cnt")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    return shd, sh, sizes
+
+
 def ppjoin_candidates(shd: DataFrame, sizes: DataFrame,
-                      threshold: float) -> DataFrame:
+                      threshold: float,
+                      position_filter: bool = True) -> DataFrame:
     """PPJoin candidate generation for `jaccard_selfjoin` (shared with
     scripts/measure_d5.py so published candidate counts always measure
     the operator's real code path).  ``shd`` is the df-cut shingle
-    relation (id, s, df_cnt); ``sizes`` is (id, sz).  Both windows
+    relation (id, s, df_cnt); ``sizes`` is (id, sz) — retained in the
+    signature for the measurement script, but sizes now ride the
+    prefix relation itself, saving both join-backs.  Both windows
     share the id partitioning (one Exchange); prefix length
     sz - ceil(t*sz) + 1 with the ceil slack biased so fp error only
-    over-generates; a length filter (min_sz >= t*max_sz) prunes before
-    the verify."""
+    over-generates.
+
+    Three PPJoin filters (Xiao et al. 2008), all LOSSLESS:
+    - prefix: a qualifying pair must share a token inside both
+      rarest-first prefixes;
+    - length: J <= min/max, so require min_sz >= t*max_sz;
+    - position (round 5): overlap o must satisfy
+      o >= ceil(t/(1+t)*(sz_a+sz_b)) (the Jaccard⇄overlap
+      equivalence), and each shared prefix token at (pos_a, pos_b)
+      bounds o <= 1 + min(sz_a-pos_a, sz_b-pos_b) WHEN it is the pair's
+      first common token in the global order.  Which row that is isn't
+      known declaratively, so the pair keeps the MAX of its rows'
+      bounds: for a qualifying pair the first common token IS in both
+      prefixes (prefix-filter theorem) and its row's bound dominates
+      neither-side-truncated, so max-of-bounds < alpha proves
+      overlap < alpha — pruning on it never drops a qualifying pair.
+      The per-pair aggregate replaces the old ``.distinct()`` (same
+      shuffle, one extra max)."""
     from pyspark.sql import Window as W
 
     w_doc = W.partitionBy("id")
@@ -225,20 +275,27 @@ def ppjoin_candidates(shd: DataFrame, sizes: DataFrame,
             .filter(F.col("pos") <= F.col("sz")
                     - F.ceil(F.lit(threshold) * F.col("sz")
                              - F.lit(1e-9)) + 1)
-            .select("id", "s"))
-    cand = (pref.select(F.col("id").alias("id_a"), "s")
-            .join(pref.select(F.col("id").alias("id_b"), "s"), "s")
+            .select("id", "s", "pos", "sz"))
+    a = pref.select(F.col("id").alias("id_a"), "s",
+                    F.col("pos").alias("_pa"), F.col("sz").alias("_sa"))
+    b = pref.select(F.col("id").alias("id_b"), "s",
+                    F.col("pos").alias("_pb"), F.col("sz").alias("_sb"))
+    cand = (a.join(b, "s")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
-    return (cand
-            .join(sizes.select(F.col("id").alias("id_a"),
-                               F.col("sz").alias("_sa")), "id_a")
-            .join(sizes.select(F.col("id").alias("id_b"),
-                               F.col("sz").alias("_sb")), "id_b")
-            .filter(F.least("_sa", "_sb")
-                    >= F.lit(threshold) * F.greatest("_sa", "_sb")
-                    - F.lit(1e-9))
-            .select("id_a", "id_b"))
+            .groupBy("id_a", "id_b")
+            .agg((F.max(F.least(F.col("_sa") - F.col("_pa"),
+                                F.col("_sb") - F.col("_pb"))) + 1)
+                 .alias("_ubound"),
+                 F.first("_sa").alias("_sa"),
+                 F.first("_sb").alias("_sb")))
+    out = cand.filter(F.least("_sa", "_sb")
+                      >= F.lit(threshold) * F.greatest("_sa", "_sb")
+                      - F.lit(1e-9))
+    if position_filter:
+        alpha = F.ceil(F.lit(threshold) / (1 + threshold)
+                       * (F.col("_sa") + F.col("_sb")) - F.lit(1e-9))
+        out = out.filter(F.col("_ubound") >= alpha)
+    return out.select("id_a", "id_b")
 
 
 def jaccard_selfjoin(df: DataFrame, text_col: str = "text",
@@ -267,21 +324,25 @@ def jaccard_selfjoin(df: DataFrame, text_col: str = "text",
     corpus-wide pruning and this operator as the exact method on
     bounded subsets (a partition, a candidate cluster).
 
-    ``prefix_filter=True`` switches candidate generation to the PPJoin
-    prefix filter (Xiao et al. 2008, "Efficient Similarity Joins for
-    Near Duplicate Detection"): order each doc's shingles globally by
-    (document frequency asc, shingle) — rarest first — and join only
-    the first ``sz - ceil(t*sz) + 1`` shingles of each doc: any pair
-    with Jaccard >= t MUST share a token inside both prefixes (if all
-    shared tokens sat in A's suffix, |A∩B| <= ceil(t*|A|) - 1 < t*|A|
-    <= t*|A∪B|), so the pruning is LOSSLESS — same output, strictly
-    fewer candidate pairs than the df-cut baseline; the survivors'
-    intersections are then counted exactly against the full df-cut
-    relation.  A length filter (min_sz >= t*max_sz, necessary since
-    J <= min/max) prunes further before the verify.  The ceil is
-    computed with a 1e-9 downward slack so float error can only
+    ``prefix_filter=True`` switches candidate generation to the full
+    PPJoin filter stack (Xiao et al. 2008, "Efficient Similarity Joins
+    for Near Duplicate Detection") — prefix + length + position, see
+    `ppjoin_candidates` — all LOSSLESS (parity-tested): same output,
+    strictly fewer candidate pairs than the df-cut baseline.  The ceil
+    is computed with a 1e-9 downward slack so float error can only
     LENGTHEN a prefix (extra candidates), never shorten it (missed
     pairs).
+
+    MEASURED DEFAULT (off — BENCH/round5_d5.json): wall-clock loses at
+    both df-cut regimes on the 50k-doc corpus (max_df=100: 8.96 vs
+    9.85 s with only a 2.6% candidate cut; max_df=500: 16.4 vs 18.4 s
+    DESPITE a 96.1% candidate cut — 7.42M → 288k pairs, the position
+    filter alone removing 56% of prefix survivors) because the
+    filter's extra fixed stages (two windows, prefix self-join,
+    per-pair bound aggregate, separate verify joins) dominate at this
+    scale.  Candidate-volume reduction is the binding constraint only
+    when the verify join's shuffle volume outweighs those stages —
+    large corpora with loose df-cuts; that is when to turn it on.
 
     Plan shape: the df-cut is ONE window count over the shingle
     partitioning (not a separate aggregate + semi-join), and the two
@@ -291,21 +352,8 @@ def jaccard_selfjoin(df: DataFrame, text_col: str = "text",
     deliberate: caching the exploded relation would hold ~|text| bytes
     per doc in memory; callers iterating on one bounded subset can
     ``.cache()`` the input df instead."""
-    from pyspark.sql import Window as W
-
-    n_pos = F.length(text_col) - (shingle_len - 1)
-    shingles = F.when(
-        n_pos >= 1,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), n_pos),
-            lambda i: F.substring(F.col(text_col), i, F.lit(shingle_len)))),
-    ).otherwise(F.array().cast("array<string>"))
-    shd = (df.select(F.col(id_col).alias("id"),
-                     F.explode(shingles).alias("s"))
-           .withColumn("df_cnt", F.count("*").over(W.partitionBy("s")))
-           .filter(F.col("df_cnt") <= max_df))
-    sh = shd.drop("df_cnt")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    shd, sh, sizes = shingle_relation(df, text_col, id_col,
+                                      shingle_len, max_df)
     if prefix_filter:
         cand = ppjoin_candidates(shd, sizes, threshold)
         inter = (
@@ -518,13 +566,30 @@ def neardup_clusters(pairs: DataFrame, max_iter: int | None = None,
     diameter outruns ``max_iter`` (identical output, property-tested
     in tests/test_curation_ops.py).  The ``max_iter`` default is
     per-algorithm (25 label rounds, 30 star rounds), so the dispatch
-    path is never weaker than the direct call."""
+    path is never weaker than the direct call.
+
+    ``algorithm="auto"`` (round-5 measured default, BENCH/
+    round5_d6.json): label propagation first under a small round
+    budget (8 — real near-dup components are dense, diameter a
+    handful; label converged in <=5 rounds on every golden corpus and
+    beats star ~1.6x there), escalating to large-star/small-star on
+    the ORIGINAL pairs iff the budget trips (adversarial chain-shaped
+    diameters, where star is O(log n) and label propagation is
+    O(diameter)).  The escalation restart wastes the budgeted label
+    rounds — a bounded, measured cost paid only on the pathological
+    shape."""
     if algorithm == "star":
         return (neardup_clusters_star(pairs) if max_iter is None
                 else neardup_clusters_star(pairs, max_iter))
+    if algorithm == "auto":
+        try:
+            return neardup_clusters(pairs, max_iter=8, algorithm="label")
+        except RuntimeError:
+            return (neardup_clusters_star(pairs) if max_iter is None
+                    else neardup_clusters_star(pairs, max_iter))
     if algorithm != "label":
-        raise ValueError(f"algorithm must be 'label' or 'star', "
-                         f"got {algorithm!r}")
+        raise ValueError(f"algorithm must be 'label', 'star', or "
+                         f"'auto', got {algorithm!r}")
     if max_iter is None:
         max_iter = 25
     if max_iter < 1:
@@ -638,6 +703,25 @@ def neardup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         raise RuntimeError(
             f"neardup_clusters_star did not converge within {max_iter} "
             "iterations")
+    # The signature equality above is probabilistic (a count+hash-sum
+    # collision between two DIFFERENT consecutive edge sets is ~2^-64
+    # per round but would silently emit wrong clusters).  Confirm the
+    # fixed point EXACTLY: a star forest is precisely "each non-root
+    # node has ONE outgoing edge" plus "no rep is itself a non-root"
+    # (depth 1), and any such edge set is verifiably a fixed point of
+    # large-star/small-star — so a collision degrades to a loud error
+    # here instead of wrong output.  Two bounded probes on the final
+    # (small) edge set only.
+    dup = edges.groupBy("a").count().filter(F.col("count") > 1) \
+        .limit(1).count()
+    chain = (edges.select(F.col("b").alias("n"))
+             .join(edges.select(F.col("a").alias("n")), "n")
+             .limit(1).count())
+    if dup or chain:
+        raise RuntimeError(
+            "neardup_clusters_star: convergence signature matched but "
+            "the edge set is not a star forest (hash-sum collision) — "
+            "rerun or raise max_iter")
     # star forest: non-root nodes appear as `a` exactly once; roots
     # (component minima) and isolated nodes map to themselves
     return (nodes.join(edges.select(F.col("a").alias("id"),
@@ -649,7 +733,8 @@ def neardup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
 def decontaminate(train: DataFrame, eval_df: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   shingle_len: int = 13, min_overlap: int = 30,
-                  max_broadcast_shingles: int = 50_000_000) -> DataFrame:
+                  max_broadcast_shingles: int = 50_000_000,
+                  broadcast_eval: bool | None = None) -> DataFrame:
     """d8 — benchmark decontamination: flag training documents sharing
     >= ``min_overlap`` DISTINCT character shingles with any evaluation
     document (the GPT-3-style long-n-gram overlap rule: long shingles
@@ -677,8 +762,15 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     pre-explode scan stats and would broadcast it anyway (pinned by
     tests/test_curation_ops.py on a parquet-backed input).
     Correctness identical either way; the over-limit path pays one
-    shuffle of the train shingles.  Returns
-    (train_id, eval_id, n_shared)."""
+    shuffle of the train shingles.
+
+    CAVEAT (round-4 ADVICE): the size gate is an EAGER Spark job —
+    merely BUILDING the returned (lazy) DataFrame scans the eval
+    table's text lengths once, and re-scans on every call.  Acceptable
+    because eval is the small side, but callers that already know the
+    answer can pass ``broadcast_eval=True/False`` to pin the join
+    strategy and skip the probe job entirely (None = probe and
+    decide).  Returns (train_id, eval_id, n_shared)."""
     def sh(df: DataFrame, out_id: str) -> DataFrame:
         n_pos = F.length(text_col) - (shingle_len - 1)
         arr = F.when(
@@ -693,10 +785,12 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
                          ).select(out_id, F.xxhash64("s0").alias("s"))
 
     ev = sh(eval_df, "eval_id")
-    shingle_bound = eval_df.agg(F.coalesce(F.sum(F.greatest(
-        F.length(text_col) - (shingle_len - 1), F.lit(0))),
-        F.lit(0))).first()[0]
-    if shingle_bound <= max_broadcast_shingles:
+    if broadcast_eval is None:
+        shingle_bound = eval_df.agg(F.coalesce(F.sum(F.greatest(
+            F.length(text_col) - (shingle_len - 1), F.lit(0))),
+            F.lit(0))).first()[0]
+        broadcast_eval = shingle_bound <= max_broadcast_shingles
+    if broadcast_eval:
         ev = F.broadcast(ev)
     else:
         ev = ev.hint("shuffle_hash")
