@@ -47,6 +47,14 @@ def main():
 
     spark = build_session("measure-d6", master=f"local[{CPUS}]",
                          shuffle_partitions=CPUS)
+    # warm-up: JVM/stage/codegen warm-up otherwise lands entirely on
+    # whichever algorithm is timed first (observed: 32 s cold vs 12 s
+    # warm for the SAME label-propagation rounds)
+    warm = spark.createDataFrame([(0, i) for i in range(1, 50)],
+                                 "id_a long, id_b long")
+    for algo in ("label", "star"):
+        neardup_clusters(warm, algorithm=algo).collect()
+
     out = {"cores": CPUS, "graphs": {}}
     for gname, edges in _graphs().items():
         pairs = spark.createDataFrame(edges, "id_a long, id_b long") \
@@ -54,16 +62,24 @@ def main():
         row = {"n_edges": len(edges)}
         results = {}
         for algo in ("label", "star", "auto"):
-            t0 = time.monotonic()
-            try:
-                res = sorted((r.doc_id, r.cluster_rep) for r in
-                             neardup_clusters(pairs, algorithm=algo,
-                                              max_iter=30).collect())
-                results[algo] = res
-                row[algo + "_sec"] = round(time.monotonic() - t0, 3)
-            except RuntimeError as e:
+            best, res, err = None, None, None
+            for _rep in range(2):  # min-of-2 warm attempts
+                t0 = time.monotonic()
+                try:
+                    res = sorted((r.doc_id, r.cluster_rep) for r in
+                                 neardup_clusters(pairs, algorithm=algo,
+                                                  max_iter=30).collect())
+                    dt = round(time.monotonic() - t0, 3)
+                    best = dt if best is None else min(best, dt)
+                except RuntimeError as e:
+                    err = str(e)[:80]
+                    break
+            if err is not None:
                 row[algo + "_sec"] = None
-                row[algo + "_err"] = str(e)[:80]
+                row[algo + "_err"] = err
+            else:
+                results[algo] = res
+                row[algo + "_sec"] = best
             print(gname, algo, row.get(algo + "_sec"), flush=True)
         ok = [a for a in results if results[a] is not None]
         assert all(results[a] == results[ok[0]] for a in ok), gname

@@ -38,7 +38,7 @@ def main() -> None:
                          "verified pair (one pass); 'clusters' runs connected "
                          "components and keeps exactly one doc per cluster")
     ap.add_argument("--cc-algorithm", choices=("label", "star", "auto"),
-                    default="label",
+                    default="auto",
                     help="connected-components algorithm for "
                          "--survivor-rule clusters: 'label' propagation "
                          "(rounds = diameter) or 'star' (O(log n) rounds "

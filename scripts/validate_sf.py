@@ -1,0 +1,122 @@
+"""Round-5 deepening evidence (VERDICT r4 #7: prefer sf0.1-scale
+oracle evidence over widening the contract): re-run the ENTIRE driver
+contract at a larger scale factor with FULL value comparison —
+
+- SQL-paired queries: Spark output vs the DuckDB oracle over the same
+  parquet tables at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  exactly the driver's check but 10x the driver's correctness SF;
+- golden-paired queries (UDF-only ops whose frozen parquet is valid
+  only at sf0.01): expected outputs recomputed FRESH at this SF with
+  the pure-Python oracles via scripts/freeze_driver_goldens.GOLDENS —
+  loop-based code independent of the Spark operators — and compared
+  value-exact in memory (nothing written; the frozen sf0.01 goldens
+  stay untouched).
+
+Canonicalization matches tests/test_entry_contract.py (strict float
+repr — queries already round in both dialects).  Writes
+BENCH/validate_sf01_r5.json.  Run alone (no concurrent Spark);
+~10 min at sf0.1.
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import duckdb  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _canon(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    import __spark_entry__ as entry
+    import freeze_driver_goldens as fg
+
+    from yalder_spark.pipeline import build_session
+
+    # point the golden builders' module-level readers at THIS SF (they
+    # default to the frozen sf0.01; nothing is written here)
+    fg.SF_DIR = SF_DIR
+
+    spark = build_session("validate-sf", master=f"local[{CPUS}]",
+                          shuffle_partitions=max(CPUS, 32))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    model, ppl = fg._models()
+    oracles = entry.oracle_sql()
+
+    results, n_fail = {}, 0
+    for name, q in entry.queries().items():
+        t0 = time.monotonic()
+        try:
+            sdf = q(spark, SF_DIR)
+            cols = sdf.columns
+            rows = [[r[c] for c in cols] for r in sdf.collect()]
+            if name in fg.GOLDENS:
+                pdf = fg.GOLDENS[name](docs, model, ppl)
+                ocols = list(pdf.columns)
+                # numpy scalars -> Python (numpy>=2 repr would be
+                # "np.float64(0.5)" and break the float canon)
+                orows = [[v.item() if hasattr(v, "item") else v
+                          for v in t]
+                         for t in pdf.itertuples(index=False)]
+                mode = "pure-oracle@sf"
+            else:
+                res = con.execute(oracles[name])
+                ocols = [d[0] for d in res.description]
+                orows = res.fetchall()
+                mode = "sql"
+            ok = (sorted(cols) == sorted(ocols)
+                  and len(rows) == len(orows)
+                  and _rowset(cols, rows) == _rowset(ocols, orows))
+            results[name] = {"mode": mode, "rows": len(rows),
+                             "match": bool(ok),
+                             "sec": round(time.monotonic() - t0, 2)}
+        except Exception as e:  # noqa: BLE001 — evidence script records
+            results[name] = {"mode": "error", "match": False,
+                             "err": f"{type(e).__name__}: {e}"[:200],
+                             "sec": round(time.monotonic() - t0, 2)}
+        if not results[name]["match"]:
+            n_fail += 1
+        print(name, results[name], flush=True)
+
+    out = {"sf_dir": SF_DIR, "cores": CPUS,
+           "n_queries": len(results), "n_fail": n_fail,
+           "queries": results}
+    with open(os.path.join(REPO, "BENCH", "validate_sf01_r5.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({"n_queries": len(results), "n_fail": n_fail}))
+
+
+if __name__ == "__main__":
+    main()

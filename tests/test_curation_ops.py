@@ -537,7 +537,7 @@ def test_cc_star_converges_logarithmically_on_long_chain(spark):
                                      algorithm="star").collect()}
     assert set(got.values()) == {0} and len(got) == 101
     with pytest.raises(RuntimeError, match="converge"):
-        neardup_clusters(pairs, max_iter=12)
+        neardup_clusters(pairs, max_iter=12, algorithm="label")
 
 
 def test_cc_star_self_loops_and_singletons(spark):

@@ -231,6 +231,32 @@ def test_committed_artifacts_match_fixture_training():
     assert ppl.langs == ["__quality__"]
 
 
+def test_s7_stream_is_timezone_independent(spark, ddb):
+    """s7 runs an applyInPandasWithState stream whose pandas path sees
+    the LTZ-cast ts as session-local wall clock — the exact mechanism
+    that made s2 collect timezone-dependent values in round 2.  The
+    query forces UTC around the stream run (and restores); pin that by
+    executing it under a hostile session timezone and hashing against
+    the DuckDB oracle, exactly like the driver would."""
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        sdf = entrymod.queries()["s7_sessionize_stream"](spark, SF_DIR)
+        spark_rows = sdf.collect()
+        assert spark.conf.get("spark.sql.session.timeZone") == \
+            "America/Los_Angeles", "query must restore the session tz"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+    res = ddb.execute(entrymod.oracle_sql()["s7_sessionize_stream"])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert len(spark_rows) == len(duck_rows)
+    s = _rowset(sdf.columns,
+                [[row[c] for c in sdf.columns] for row in spark_rows])
+    d = _rowset(duck_cols, duck_rows)
+    assert s == d, "s7 under hostile tz diverges from the oracle"
+
+
 def test_unverified_queries_sit_in_driver_prefix():
     """Round-3 lesson (VERDICT r3 #1/#3): the driver checks only the
     FIRST 50 registered queries, so any query without a green row in

@@ -536,7 +536,7 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95,
 
 
 def neardup_clusters(pairs: DataFrame, max_iter: int | None = None,
-                     algorithm: str = "label") -> DataFrame:
+                     algorithm: str = "auto") -> DataFrame:
     """d6 — connected components over near-dup candidate pairs:
     (id_a, id_b) edges -> (doc_id, cluster_rep) where cluster_rep is
     the MIN doc id of the component.  The principled survivor rule for

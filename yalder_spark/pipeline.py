@@ -63,7 +63,7 @@ def curate_corpus(df: DataFrame, model: LanguageModel,
                   neardup_threshold: float = 0.85,
                   count_curated: bool = True,
                   survivor_rule: str = "pairs",
-                  cc_algorithm: str = "label",
+                  cc_algorithm: str = "auto",
                   ) -> tuple[DataFrame, dict]:
     """The full training-data curation chain a 100 TB corpus runs before
     tokenization, composed from this repo's operators::
@@ -106,7 +106,7 @@ def curate_corpus(df: DataFrame, model: LanguageModel,
 def _dedup_survivors(df: DataFrame, content_col: str,
                      neardup_threshold: float,
                      survivor_rule: str = "pairs",
-                     cc_algorithm: str = "label") -> tuple[DataFrame, dict]:
+                     cc_algorithm: str = "auto") -> tuple[DataFrame, dict]:
     """Shared dedup prefix of the curation paths (`curate_corpus` and
     `run_curate_resumable` MUST agree on doc identity and the survivor
     rule — one implementation).  Returns (survivors with a ``doc_id``
@@ -129,9 +129,11 @@ def _dedup_survivors(df: DataFrame, content_col: str,
     graph only.  The component minimum is never the larger side of an
     edge, so cluster survivors are always a SUBSET of pair survivors
     (property-tested in tests/test_pipeline.py).  ``cc_algorithm``
-    forwards to `neardup_clusters` ("label" propagation, or "star" for
-    the O(log n)-round large-star/small-star form when a pair graph
-    has adversarial diameter)."""
+    forwards to `neardup_clusters` — default "auto" (round-5 measured
+    choice, BENCH/round5_d6.json): label propagation under an 8-round
+    budget, escalating to the O(log n)-round large-star/small-star
+    form only when a pair graph has adversarial diameter; "label" and
+    "star" force either path."""
     from yalder_spark.operators.dedup import (exact_dedup, minhash_dedup,
                                               neardup_clusters)
 
@@ -222,7 +224,7 @@ def run_curate_resumable(spark: SparkSession, input_path: str,
                          neardup_threshold: float = 0.85,
                          content_col: str = "content",
                          survivor_rule: str = "pairs",
-                         cc_algorithm: str = "label",
+                         cc_algorithm: str = "auto",
                          input_format: str = "parquet") -> dict:
     """Resumable curation job: the dedup stages are GLOBAL and
     deterministic (content-addressed ids, frozen MinHash permutations),
