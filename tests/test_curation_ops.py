@@ -307,11 +307,17 @@ def test_cc_raises_on_non_convergence(spark):
     from yalder_spark.operators.dedup import neardup_clusters
 
     # a 6-node path needs ~5 propagation rounds; max_iter=2 must fail
-    # loudly rather than return a silently partial clustering
+    # loudly rather than return a silently partial clustering (forced
+    # label path — the round-5 "auto" default would escalate to star
+    # and converge, which is exactly its job)
     pairs = spark.createDataFrame([(i, i + 1) for i in range(6)],
                                   "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="converge"):
-        neardup_clusters(pairs, max_iter=2)
+        neardup_clusters(pairs, max_iter=2, algorithm="label")
+    # ... and the auto default converges on the same input
+    got = {r.doc_id: r.cluster_rep
+           for r in neardup_clusters(pairs, max_iter=12).collect()}
+    assert set(got.values()) == {0} and len(got) == 7
 
 
 # ---------------------------------------------------------------- d9
