@@ -269,7 +269,9 @@ def _q_x10_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.textstats import tfidf_topk
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return tfidf_topk(d, "text", "doc_id", k=5)
+    # materialize: the driver session runs dozens of queries after
+    # this one — don't leave the tf relation pinned in storage memory
+    return tfidf_topk(d, "text", "doc_id", k=5, materialize=True)
 
 
 def _q_s4_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,11 +354,14 @@ def _q_s7_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("{}").alias("props"))
 
     saved_tz = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    q = sessionize_stream(spark, tmp, gap_minutes=30,
-                          event_time_flush=True,
-                          query_name="s7_sessions")
+    q = None
     try:
+        # tz set INSIDE the try: a failure during stream setup must
+        # not leak UTC into the caller's session (review round-5 #4)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        q = sessionize_stream(spark, tmp, gap_minutes=30,
+                              event_time_flush=True,
+                              query_name="s7_sessions")
         q.processAllAvailable()
         ev.filter(F.col("ts") > mid).coalesce(4) \
             .write.mode("append").parquet(evdir)
@@ -370,8 +375,15 @@ def _q_s7_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .filter(F.col("user_id") >= 0).count())
             if n >= expected:
                 break
+        else:
+            # a partial return would surface only as an opaque driver
+            # hash mismatch — fail loudly and attributably instead
+            raise RuntimeError(
+                f"s7: only {n}/{expected} sessions flushed after 8 "
+                f"sentinel batches — event-time timeout flush regressed")
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
         spark.conf.set("spark.sql.session.timeZone", saved_tz)
     return (spark.table("s7_sessions")
             .filter(F.col("user_id") >= 0)
@@ -793,10 +805,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r1_filter_project": R.q_filter_project,
         "r13_asof_join": _q_r13_asof_join,
         "r14_range_join": _q_r14_range_join,
-        "s3_time_rollup": _q_s3_time_rollup,
         "x9_word_freqs": _q_x9_word_freqs,
         # --- doubly-verified (green r3 AND r4) tail: rotates outside
-        # the 50-query window this round; all golden-pinned by pytest
+        # the 50-query window this round (s7's insertion pushed one
+        # green row out — review round-5 #1 caught x9 silently landing
+        # at index 50; s3 takes the tail slot instead, deliberately);
+        # all tail rows stay golden-pinned by pytest
+        "s3_time_rollup": _q_s3_time_rollup,
         "x1_token_count": _q_t_token_count,
         "x2_quality_score": _q_t_quality_score,
         "x3_langid_stopword": _q_t_langid_stopword,

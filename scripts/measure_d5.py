@@ -12,10 +12,11 @@ For each max_df: the EXACT number of candidate-pair rows the shingle
 equi-join would emit is sum_s C(df_s, 2) over surviving shingles —
 computable from the df histogram alone, no join needed, so the curve
 extends past the point where actually running the join would be
-silly.  At the operator default (max_df=100) and at a boilerplate-
-heavy cut (max_df=2000, where common shingles survive and prefix/
-position pruning has something to prune) the join IS run, recording
-distinct candidate pairs per filter stage, wall time, and parity.
+silly.  At the operator default (max_df=100) and at the largest
+boilerplate-heavy cut whose exact baseline distinct is feasible here
+(max_df=500 — 16.3M pair rows; 2000 would be 169M and OOMs a shared
+local JVM) the join IS run, recording distinct candidate pairs per
+filter stage, wall time, and parity.
 
 Writes BENCH/round5_d5.json.  Run alone (no concurrent Spark).
 """

@@ -573,8 +573,10 @@ def test_cc_auto_escalates_to_star_on_chain_and_matches_label_on_dense(spark):
     rng = random.Random(7)
     edges = [(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(80)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    # baseline FORCES label (the operator default is now "auto" — a
+    # bare call would vacuously compare auto against itself)
     lab = {(r.doc_id, r.cluster_rep) for r in
-           neardup_clusters(pairs).collect()}
+           neardup_clusters(pairs, algorithm="label").collect()}
     auto = {(r.doc_id, r.cluster_rep) for r in
             neardup_clusters(pairs, algorithm="auto").collect()}
     assert auto == lab

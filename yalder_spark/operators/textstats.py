@@ -268,7 +268,8 @@ def length_quantiles(df: DataFrame, value_col: str = "n_chars",
 
 def tfidf_topk(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", k: int = 5,
-               cache_tf: bool = True) -> DataFrame:
+               cache_tf: bool = True,
+               materialize: bool = False) -> DataFrame:
     """x10 — TF-IDF top-k terms per document, fully declarative (no
     UDF): tf = term count per (doc, term) over the frozen `ws_tokens`
     whitespace rule; document frequency from the same relation;
@@ -297,7 +298,16 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
     handles residual hot-term partitions.  Shuffles: tf agg, df agg,
     term join, doc rank window; the 1-row corpus-count cross is the
     only broadcast.  Plan-asserted in tests/test_plans.py.
-    Output: (doc_id, term, tf, tfidf, rk) BIGINT integers."""
+    Output: (doc_id, term, tf, tfidf, rk) BIGINT integers.
+
+    Cache lifetime (review round-5 #3): with the default lazy return
+    the persisted tf relation has no caller-visible handle and lives
+    until the session evicts it — acceptable for one-shot jobs, a
+    leak for long-lived sessions interleaving many operators.
+    ``materialize=True`` is the leak-free path: the (small, top-k ×
+    n_docs) RESULT is eagerly localCheckpoint-ed, tf is unpersisted
+    before returning, and the returned DataFrame carries no lineage
+    back to the scan."""
     from pyspark.sql import Window as W
 
     toks, _ = ws_tokens(text_col)
@@ -316,8 +326,13 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
                                  / (F.col("df_t") + 1)) + 1), 6)))
     w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
                                       F.col("term").asc())
-    return (scored.withColumn("rk", F.row_number().over(w).cast("long"))
-            .filter(F.col("rk") <= k)
-            .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
-                    "tfidf", "rk")
-            .orderBy(id_col, "rk"))
+    out = (scored.withColumn("rk", F.row_number().over(w).cast("long"))
+           .filter(F.col("rk") <= k)
+           .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
+                   "tfidf", "rk")
+           .orderBy(id_col, "rk"))
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        if cache_tf:
+            tf.unpersist()
+    return out
