@@ -250,6 +250,77 @@ def test_sessionize_stream_drops_late_event_older_than_gap(spark, tmp_path):
                - (base + pd.Timedelta(hours=2)).timestamp()) < 1e-3
 
 
+def test_session_window_streaming_matches_batch(spark, tmp_path):
+    """The BUILT-IN session_window in STREAMING mode (the engine's own
+    watermark-managed session aggregation with full retro-merge — the
+    shape sessionize_stream's docstring contrasts itself against) must
+    emit, once the watermark passes every session, exactly the batch
+    session_windows_native sessions.  Two-batch replay + far-future
+    sentinel, mirroring the s7 driver harness; completes the streaming
+    evidence story: s7 covers OUR stateful operator, this covers
+    Spark's native one."""
+    from pyspark.sql import functions as F
+
+    from yalder_spark.streaming.events import session_windows_native
+
+    SF = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = F.to_timestamp_ntz(F.lit(
+        (lo + (hi - lo) / 2).strftime("%Y-%m-%d %H:%M:%S.%f")))
+    evdir = str(tmp_path / "events.parquet")
+    ev.filter(F.col("ts") <= mid).coalesce(2).write.parquet(evdir)
+
+    schema = ev.schema
+    src = (spark.readStream.schema(schema).parquet(evdir)
+           .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (src.withWatermark("ts", "0 seconds")
+           .groupBy(F.session_window("ts", "30 minutes").alias("sw"),
+                    "user_id")
+           .agg(F.count("*").alias("n_events")))
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
+    q = None
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        q = (agg.writeStream.outputMode("append")
+             .format("memory").queryName("sw_stream").start())
+        q.processAllAvailable()
+        ev.filter(F.col("ts") > mid).coalesce(2) \
+            .write.mode("append").parquet(evdir)
+        q.processAllAvailable()
+        # watermark sentinels: far-future events close everything;
+        # append-mode results land on a batch AFTER the watermark
+        # advance, so bounded extra sentinels (the s7 pattern)
+        expected = session_windows_native(spark, SF).count()
+        for attempt in range(5):
+            sent = ev.agg(F.max("ts").alias("mx")).select(
+                F.lit(-1).cast("long").alias("event_id"),
+                F.timestamp_add("DAY", F.lit(30 + attempt),
+                                F.col("mx")).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("sent").alias("event_type"),
+                F.lit(0.0).alias("value"), F.lit("{}").alias("props"))
+            sent.coalesce(1).write.mode("append").parquet(evdir)
+            q.processAllAvailable()
+            got = spark.table("sw_stream").toPandas()
+            if len(got[got["user_id"] >= 0]) >= expected:
+                break
+    finally:
+        if q is not None:
+            q.stop()
+        spark.conf.set("spark.sql.session.timeZone", saved_tz)
+
+    stream = {(int(r.user_id),
+               int(round(r.sw["start"].timestamp() * 1_000_000)),
+               int(round(r.sw["end"].timestamp() * 1_000_000)),
+               int(r.n_events))
+              for r in got.itertuples()
+              if r.user_id >= 0}
+    batch = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+             for r in session_windows_native(spark, SF).collect()}
+    assert stream == batch and len(batch) > 0
+
+
 def test_sliding_window_expansion_and_tumbling_consistency(spark):
     """s6: every event lands in exactly width/slide = 4 windows, and
     the hour-aligned slice of the sliding output equals the tumbling
