@@ -1,0 +1,120 @@
+"""The north-rule flagship (quality_filter) in STREAMING mode.
+
+quality_filter is a single stateless map stage (select + mapInArrow),
+so it runs UNCHANGED on a readStream source — the curation pipeline
+can ingest a corpus incrementally (new shards land in a directory,
+each microbatch filters only the new files, no reprocessing, no
+state).  These tests pin that claim:
+
+  * a multi-file stream run to completion emits EXACTLY the batch
+    output over the same files (value-exact, all columns — scoring is
+    per-document and batching-invariant, already pinned by the
+    arrow-vs-pandas parity test in test_filter.py);
+  * a shard that arrives AFTER the first drain is processed alone —
+    the sink grows by precisely that shard's batch-filtered rows.
+"""
+
+import pandas as pd
+import pytest
+
+from yalder_spark.fixtures.gen import gen_repos, repos_input
+
+KEY = ["repo", "path", "commit"]
+
+
+def _shards(n=150, n_shards=3, seed=42):
+    pdf = repos_input(gen_repos(n, seed)).head(n).reset_index(drop=True)
+    per = (len(pdf) + n_shards - 1) // n_shards
+    return [pdf.iloc[i * per:(i + 1) * per].reset_index(drop=True)
+            for i in range(n_shards)]
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    return (pdf.sort_values(KEY).reset_index(drop=True)
+            .reindex(sorted(pdf.columns), axis=1))
+
+
+def test_stream_filter_matches_batch(spark, tmp_path, model_artifact,
+                                     ppl_model):
+    from yalder_spark.operators.filter import quality_filter
+
+    shards = _shards()
+    inp = str(tmp_path / "docs")
+    for sh in shards[:-1]:
+        spark.createDataFrame(sh).coalesce(1).write.mode("append").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(inp))
+    assert src.isStreaming
+    out = quality_filter(src, model_artifact, ppl_model)
+    q = (out.writeStream.format("memory").queryName("filtered_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        # Stateless stream: no timeout-driven cleanup microbatches, so
+        # processAllAvailable is safe (CLAUDE.md gotcha applies only to
+        # ProcessingTimeTimeout state).
+        q.processAllAvailable()
+        got1 = spark.table("filtered_stream").toPandas()
+        fed1 = sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+        batch1 = quality_filter(spark.read.parquet(inp),
+                                model_artifact, ppl_model).toPandas()
+        # value-exact parity, every output column (scores, drop_reason,
+        # scrubbed_text, sha256), independent of file->microbatch split
+        pd.testing.assert_frame_equal(_canon(got1), _canon(batch1))
+        # maxFilesPerTrigger=1 really split the run into >1 microbatch
+        n_filled = sum(1 for p in q.recentProgress
+                       if int(p["numInputRows"]) > 0)
+        assert n_filled >= 2
+        assert fed1 == sum(len(s) for s in shards[:-1])
+
+        # INCREMENTAL ingest: a late shard is filtered alone — the sink
+        # grows by exactly its rows, earlier files are not reprocessed
+        spark.createDataFrame(shards[-1]).coalesce(1) \
+            .write.mode("append").parquet(inp)
+        q.processAllAvailable()
+        got2 = spark.table("filtered_stream").toPandas()
+        fed2 = sum(int(p["numInputRows"]) for p in q.recentProgress)
+    finally:
+        q.stop()
+
+    batch_all = quality_filter(spark.read.parquet(inp),
+                               model_artifact, ppl_model).toPandas()
+    pd.testing.assert_frame_equal(_canon(got2), _canon(batch_all))
+    assert len(got2) - len(got1) == len(shards[-1])
+    # recentProgress is a bounded buffer; with ~4 filled batches it
+    # retains all of them, so total fed rows == total input rows
+    assert fed2 == sum(len(s) for s in shards)
+
+
+def test_stream_filter_drop_rows_present(spark, tmp_path, model_artifact,
+                                         ppl_model):
+    """The streamed output carries DROPPED rows too (keep=False with a
+    drop_reason) — downstream sinks can route keeps and drops without
+    a second pass, same contract as batch."""
+    from yalder_spark.operators.filter import quality_filter
+
+    pdf = pd.concat(_shards(), ignore_index=True)
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(inp)
+    schema = spark.read.parquet(inp).schema
+
+    out = quality_filter(spark.readStream.schema(schema).parquet(inp),
+                         model_artifact, ppl_model)
+    q = (out.writeStream.format("memory").queryName("filtered_stream2")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = spark.table("filtered_stream2").toPandas()
+    finally:
+        q.stop()
+
+    assert len(got) == len(pdf)
+    assert (~got["keep"]).any() and got["keep"].any()
+    assert got.loc[~got["keep"], "drop_reason"].notna().all()
+    assert got.loc[got["keep"], "drop_reason"].isna().all()
