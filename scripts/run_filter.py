@@ -60,6 +60,15 @@ def main() -> None:
     ap.add_argument("--input-format", default="parquet",
                     choices=["parquet", "iceberg"])
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--streaming", action="store_true",
+                    help="incremental-ingest mode: drain shards that "
+                         "landed since the last run via Structured "
+                         "Streaming (availableNow trigger + checkpoint) "
+                         "instead of the batch manifest job")
+    ap.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint dir (default "
+                         "<output>/_checkpoint)")
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
     args = ap.parse_args()
 
     from yalder_spark.pipeline import build_session, run_filter
@@ -68,13 +77,29 @@ def main() -> None:
                           shuffle_partitions=args.shuffle_partitions)
     spark.sparkContext.addPyFile(build_pyfiles_zip())
 
-    report = run_filter(spark, args.input, args.output, args.model,
-                        args.ppl_model, n_buckets=args.buckets,
-                        input_format=args.input_format)
-    n = sum(m["n_in"] for m in report["metrics"])
-    keep = sum(m["n_keep"] for m in report["metrics"])
-    print(f"run {report['run_id']}: committed={report['committed_buckets']} "
-          f"rows={n} kept={keep}", file=sys.stderr)
+    if args.streaming:
+        if args.input_format != "parquet":
+            # iceberg readStream exists in production but needs the
+            # runtime jar this sandbox lacks (same seam as io.read_source)
+            raise SystemExit("--streaming supports --input-format "
+                             "parquet only in this build")
+        from yalder_spark.streaming.filter_stream import run_filter_stream
+
+        report = run_filter_stream(
+            spark, args.input, args.output, args.model, args.ppl_model,
+            checkpoint=args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger)
+        print(f"stream drain: rows={report['n_input_rows']} "
+              f"batches={report['n_batches']}", file=sys.stderr)
+    else:
+        report = run_filter(spark, args.input, args.output, args.model,
+                            args.ppl_model, n_buckets=args.buckets,
+                            input_format=args.input_format)
+        n = sum(m["n_in"] for m in report["metrics"])
+        keep = sum(m["n_keep"] for m in report["metrics"])
+        print(f"run {report['run_id']}: "
+              f"committed={report['committed_buckets']} "
+              f"rows={n} kept={keep}", file=sys.stderr)
     print(json.dumps(report, sort_keys=True, default=str))
 
 

@@ -67,6 +67,35 @@ def test_run_filter_cli(cli_input, tmp_path):
     assert persisted["run_id"] == report["run_id"]
 
 
+def test_run_filter_cli_streaming(cli_input, tmp_path):
+    """--streaming drains a landing DIRECTORY via availableNow; a
+    second invocation in a FRESH process resumes from the checkpoint
+    and processes nothing — cross-process exactly-once, which the
+    in-session test (test_streaming_filter.py) cannot prove."""
+    inp = str(tmp_path / "landing")
+    os.makedirs(inp)
+    pdf = pd.read_parquet(cli_input)
+    pdf.iloc[:200].to_parquet(os.path.join(inp, "shard0.parquet"))
+    pdf.iloc[200:].to_parquet(os.path.join(inp, "shard1.parquet"))
+    out = str(tmp_path / "out")
+
+    args = ("run_filter.py", "--input", inp, "--output", out,
+            "--model", MODEL, "--ppl-model", PPL,
+            "--master", "local[4]", "--streaming")
+    report = json.loads(_run_cli(*args).strip().splitlines()[-1])
+    assert report["n_input_rows"] == len(pdf)
+
+    report2 = json.loads(_run_cli(*args).strip().splitlines()[-1])
+    assert report2["n_input_rows"] == 0
+
+    # sink has a streaming commit log and exactly the input's rows
+    assert os.path.isdir(os.path.join(out, "_spark_metadata"))
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    got = pd.concat([pd.read_parquet(os.path.join(out, f)) for f in parts])
+    assert len(got) == len(pdf)
+    assert got["keep"].any() and (~got["keep"]).any()
+
+
 def test_run_curate_cli_resumable(cli_input, tmp_path):
     out = str(tmp_path / "out")
     stdout = _run_cli(

@@ -90,6 +90,46 @@ def test_stream_filter_matches_batch(spark, tmp_path, model_artifact,
     assert fed2 == sum(len(s) for s in shards)
 
 
+def test_run_filter_stream_incremental(spark, tmp_path, model_artifact,
+                                       ppl_model):
+    """Job-level surface: two SEPARATE run_filter_stream invocations
+    sharing one checkpoint.  The first drains the initial shards; the
+    second, after a new shard lands, processes ONLY that shard — and
+    the sink (read through its _spark_metadata commit log) equals the
+    batch output over everything, both times."""
+    from yalder_spark.operators.filter import quality_filter
+    from yalder_spark.streaming.filter_stream import run_filter_stream
+
+    shards = _shards()
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    for sh in shards[:-1]:
+        spark.createDataFrame(sh).coalesce(1).write.mode("append").parquet(inp)
+
+    rep1 = run_filter_stream(spark, inp, out, model_artifact, ppl_model,
+                             max_files_per_trigger=1)
+    assert rep1["n_input_rows"] == sum(len(s) for s in shards[:-1])
+    assert rep1["n_batches"] >= 2  # maxFilesPerTrigger really split it
+    got1 = spark.read.parquet(out).toPandas()
+    batch1 = quality_filter(spark.read.parquet(inp),
+                            model_artifact, ppl_model).toPandas()
+    pd.testing.assert_frame_equal(_canon(got1), _canon(batch1))
+
+    # a late shard lands; a fresh invocation drains exactly it
+    spark.createDataFrame(shards[-1]).coalesce(1) \
+        .write.mode("append").parquet(inp)
+    rep2 = run_filter_stream(spark, inp, out, model_artifact, ppl_model)
+    assert rep2["n_input_rows"] == len(shards[-1])
+    got2 = spark.read.parquet(out).toPandas()
+    batch_all = quality_filter(spark.read.parquet(inp),
+                               model_artifact, ppl_model).toPandas()
+    pd.testing.assert_frame_equal(_canon(got2), _canon(batch_all))
+
+    # nothing new -> a third drain is a no-op (exactly-once across runs)
+    rep3 = run_filter_stream(spark, inp, out, model_artifact, ppl_model)
+    assert rep3["n_input_rows"] == 0
+    assert len(spark.read.parquet(out).toPandas()) == len(got2)
+
+
 def test_stream_filter_drop_rows_present(spark, tmp_path, model_artifact,
                                          ppl_model):
     """The streamed output carries DROPPED rows too (keep=False with a

@@ -1,0 +1,113 @@
+"""Incremental-ingest (streaming) variant of the flagship filter job.
+
+The batch job (``pipeline.run_filter``) achieves idempotent resume with
+an explicit committed-bucket manifest (SURVEY §2 S2).  At ingest time
+the natural production shape is different: shards LAND CONTINUOUSLY in
+a directory (or as an Iceberg table's append snapshots) and each should
+be filtered exactly once, soon after arrival.  ``quality_filter`` is a
+stateless map stage (select + mapInArrow — no shuffle, no state), so it
+runs UNCHANGED on a ``readStream`` source; stream-vs-batch value
+equality is pinned in tests/test_streaming_filter.py.  This module adds
+the job-level surface around that fact:
+
+* **source** — file stream over the landing directory (file streams
+  require an explicit schema, pinned here from a batch read of the same
+  directory);
+* **exactly-once** — delegated to the engine: the streaming checkpoint
+  records which source files each trigger consumed, and the parquet
+  sink's ``_spark_metadata`` commit log makes partially-written
+  triggers invisible to readers.  No manifest code of our own.
+* **scheduling** — ``Trigger.AvailableNow`` by default: drain
+  everything that has landed, then stop.  Re-invoking the same
+  (checkpoint, output) pair later processes ONLY shards that arrived
+  since the last drain — cron-style incremental ingestion.
+
+100 TB notes: every microbatch is embarrassingly parallel and
+shuffle-free (the one Python stage is the same fused mapInArrow as
+batch); ``max_files_per_trigger`` bounds per-trigger work so a huge
+backlog drains as a sequence of bounded batches instead of one giant
+one; the state store is unused (stateless query), so checkpoint size is
+O(files seen), not O(rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.filter import FilterConfig, quality_filter
+from ..operators.model import LanguageModel
+
+__all__ = ["run_filter_stream"]
+
+
+def run_filter_stream(spark: SparkSession, input_path: str,
+                      output_path: str,
+                      model: LanguageModel | str,
+                      ppl_model: LanguageModel | str,
+                      config: FilterConfig | None = None,
+                      checkpoint: str | None = None,
+                      max_files_per_trigger: int | None = None,
+                      available_now: bool = True,
+                      query_name: str = "yalder_filter_stream"):
+    """Filter every not-yet-processed shard under ``input_path`` into
+    ``output_path``, exactly once across invocations.
+
+    With ``available_now=True`` (default) the call blocks until the
+    backlog is drained, stops the query, and returns a small report
+    dict (rows/batches this invocation, plus the checkpoint and output
+    locations).  With ``available_now=False`` it returns the running
+    ``StreamingQuery`` (continuous ingest; caller owns the lifecycle).
+
+    The checkpoint defaults to ``<output>/_checkpoint`` so the
+    (output, checkpoint) pair travels together; pass an explicit
+    ``checkpoint`` to relocate it.  The first invocation requires at
+    least one shard present (the file stream needs a schema, which is
+    pinned from a batch read of the landing directory).
+    """
+    if isinstance(model, str):
+        model = LanguageModel.load(model)
+    if isinstance(ppl_model, str):
+        ppl_model = LanguageModel.load(ppl_model)
+    config = config or FilterConfig()
+    checkpoint = checkpoint or os.path.join(output_path, "_checkpoint")
+
+    # File streams need an explicit schema; pin it from the landing dir
+    # itself so stream and batch agree by construction.
+    schema = spark.read.parquet(input_path).schema
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src: DataFrame = reader.parquet(input_path)
+
+    filtered = quality_filter(src, model, ppl_model, config)
+
+    writer = (filtered.writeStream.format("parquet")
+              .option("path", output_path)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append")
+              .queryName(query_name))
+
+    if not available_now:
+        return writer.start()
+
+    q = writer.trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    # recentProgress is a bounded buffer (spark.sql.streaming
+    # .numRecentProgressUpdates, default 100) — exact for any sane
+    # max_files_per_trigger; a >100-batch drain under-counts the report
+    # (the DATA is still exactly-once; only this summary is clipped).
+    progress = [p for p in q.recentProgress if int(p["numInputRows"]) > 0]
+    return {
+        "query_name": query_name,
+        "input": input_path,
+        "output": output_path,
+        "checkpoint": checkpoint,
+        "n_input_rows": sum(int(p["numInputRows"]) for p in progress),
+        "n_batches": len(progress),
+    }
