@@ -1,0 +1,106 @@
+"""Measure the incremental-ingest (streaming) filter path against the
+batch path on IDENTICAL input — quantify what the Structured-Streaming
+wrapper costs over the stateless map stage it wraps.
+
+Three timed variants over the same sf0.1 repo-shaped landing directory
+(written once as parquet shards, so both paths scan the same files):
+
+  * batch        — quality_filter over a batch read, parquet sink
+                   (the apples-to-apples write included);
+  * stream_1trig — run_filter_stream availableNow, whole backlog in
+                   one trigger (fresh checkpoint+output per run);
+  * stream_8trig — availableNow with max_files_per_trigger sized for
+                   ~8 triggers: the bounded-batch drain shape a huge
+                   backlog would use (per-trigger planning + commit-log
+                   overhead x8).
+
+Discipline per CLAUDE.md: untimed warm-up pass first (fresh-JVM
+absorbs ~20 s), min-of-2 per variant, NumPy calibration probe recorded.
+Writes BENCH/round5_stream_filter.json.  Run alone (no concurrent
+Spark/pytest).
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MULT = int(os.environ.get("SPARK_GRAFT_MULT", "20"))  # bench headline: 100k files
+N_SHARDS = 16
+
+
+def main():
+    import bench
+    import __spark_entry__ as entrymod
+    from yalder_spark.operators.filter import quality_filter
+    from yalder_spark.streaming.filter_stream import run_filter_stream
+
+    spark = bench.build_bench_session(CPUS)
+    model, ppl = entrymod._models()
+
+    work = "/tmp/measure_stream_filter"
+    shutil.rmtree(work, ignore_errors=True)
+    land = os.path.join(work, "landing")
+    src = bench._docs_repo_shaped(spark, SF_DIR, mult=MULT)
+    src.repartition(N_SHARDS).write.parquet(land)
+    n_files = spark.read.parquet(land).count()
+
+    def batch(tag):
+        out = os.path.join(work, f"batch_{tag}")
+        quality_filter(spark.read.parquet(land), model, ppl) \
+            .write.parquet(out)
+        return out
+
+    def stream(tag, mfpt):
+        out = os.path.join(work, f"stream_{tag}")
+        rep = run_filter_stream(spark, land, out, model, ppl,
+                                max_files_per_trigger=mfpt)
+        assert rep["n_input_rows"] == n_files, rep
+        return out
+
+    variants = {
+        "batch": lambda tag: batch(tag),
+        "stream_1trig": lambda tag: stream(tag, None),
+        "stream_8trig": lambda tag: stream(tag, N_SHARDS // 8),
+    }
+
+    # warm-up: run each once untimed (JVM/codegen/Python-worker spin-up)
+    for name, fn in variants.items():
+        fn(f"{name}_warm")
+
+    results = {}
+    for name, fn in variants.items():
+        best = float("inf")
+        for i in range(2):
+            t0 = time.perf_counter()
+            out = fn(f"{name}_{i}")
+            best = min(best, time.perf_counter() - t0)
+            n_out = spark.read.parquet(out).count()
+            assert n_out == n_files, (name, n_out, n_files)
+        results[name] = round(best, 3)
+
+    payload = {
+        "sf_dir": SF_DIR, "cpus": CPUS, "mult": MULT, "n_files": n_files,
+        "n_shards": N_SHARDS, "sec_min_of_2": results,
+        "stream_overhead_1trig_sec": round(
+            results["stream_1trig"] - results["batch"], 3),
+        "per_trigger_extra_sec": round(
+            (results["stream_8trig"] - results["stream_1trig"]) / 7, 3),
+        "calibration_probe_sec": bench._calibration_probe(),
+        "calibration_expected_sec": bench._CALIB_EXPECT_SEC,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/round5_stream_filter.json", "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
