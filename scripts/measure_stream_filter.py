@@ -47,7 +47,9 @@ def main():
     shutil.rmtree(work, ignore_errors=True)
     land = os.path.join(work, "landing")
     src = bench._docs_repo_shaped(spark, SF_DIR, mult=MULT)
-    src.repartition(N_SHARDS).write.parquet(land)
+    # _docs_repo_shaped already ends in a repartition; coalesce merges
+    # its output into N_SHARDS files without a second shuffle
+    src.coalesce(N_SHARDS).write.parquet(land)
     n_files = spark.read.parquet(land).count()
 
     def batch(tag):

@@ -71,6 +71,18 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     args = ap.parse_args()
 
+    # arg-vs-arg validation BEFORE the (expensive) JVM spin-up
+    if args.streaming and args.input_format != "parquet":
+        # iceberg readStream exists in production but needs the
+        # runtime jar this sandbox lacks (same seam as io.read_source)
+        ap.error("--streaming supports --input-format parquet only "
+                 "in this build")
+    if not args.streaming and (args.checkpoint is not None
+                               or args.max_files_per_trigger is not None):
+        ap.error("--checkpoint/--max-files-per-trigger require "
+                 "--streaming (the batch job uses the bucket manifest, "
+                 "not a streaming checkpoint)")
+
     from yalder_spark.pipeline import build_session, run_filter
 
     spark = build_session("yalder-filter", master=args.master,
@@ -78,11 +90,6 @@ def main() -> None:
     spark.sparkContext.addPyFile(build_pyfiles_zip())
 
     if args.streaming:
-        if args.input_format != "parquet":
-            # iceberg readStream exists in production but needs the
-            # runtime jar this sandbox lacks (same seam as io.read_source)
-            raise SystemExit("--streaming supports --input-format "
-                             "parquet only in this build")
         from yalder_spark.streaming.filter_stream import run_filter_stream
 
         report = run_filter_stream(

@@ -11,8 +11,8 @@ equality is pinned in tests/test_streaming_filter.py.  This module adds
 the job-level surface around that fact:
 
 * **source** — file stream over the landing directory (file streams
-  require an explicit schema, pinned here from a batch read of the same
-  directory);
+  require an explicit schema, pinned here from one shard's parquet
+  footer so a drain never batch-lists the whole directory twice);
 * **exactly-once** — delegated to the engine: the streaming checkpoint
   records which source files each trigger consumed, and the parquet
   sink's ``_spark_metadata`` commit log makes partially-written
@@ -42,6 +42,23 @@ from ..operators.model import LanguageModel
 __all__ = ["run_filter_stream"]
 
 
+def _one_data_file(spark: SparkSession, path: str) -> str | None:
+    """First parquet data file under ``path`` via the Hadoop FS API
+    (works for any URI) — so schema pinning reads ONE footer instead of
+    batch-listing the whole landing directory every drain."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet") and not name.startswith(
+                ("_", ".")):
+            return st.getPath().toString()
+    return None
+
+
 def run_filter_stream(spark: SparkSession, input_path: str,
                       output_path: str,
                       model: LanguageModel | str,
@@ -49,6 +66,7 @@ def run_filter_stream(spark: SparkSession, input_path: str,
                       config: FilterConfig | None = None,
                       checkpoint: str | None = None,
                       max_files_per_trigger: int | None = None,
+                      max_file_age: str = "3650d",
                       available_now: bool = True,
                       query_name: str = "yalder_filter_stream"):
     """Filter every not-yet-processed shard under ``input_path`` into
@@ -63,8 +81,10 @@ def run_filter_stream(spark: SparkSession, input_path: str,
     The checkpoint defaults to ``<output>/_checkpoint`` so the
     (output, checkpoint) pair travels together; pass an explicit
     ``checkpoint`` to relocate it.  The first invocation requires at
-    least one shard present (the file stream needs a schema, which is
-    pinned from a batch read of the landing directory).
+    least one shard present (the file stream needs a schema, pinned
+    from the first shard's footer).  ``max_file_age`` guards against
+    the source's 7-day default silently skipping backfilled shards
+    with old mtimes.
     """
     if isinstance(model, str):
         model = LanguageModel.load(model)
@@ -73,11 +93,22 @@ def run_filter_stream(spark: SparkSession, input_path: str,
     config = config or FilterConfig()
     checkpoint = checkpoint or os.path.join(output_path, "_checkpoint")
 
-    # File streams need an explicit schema; pin it from the landing dir
-    # itself so stream and batch agree by construction.
-    schema = spark.read.parquet(input_path).schema
+    # File streams need an explicit schema; pin it from ONE shard's
+    # footer (stream and batch agree by construction; the full-directory
+    # listing is left to the source, which has to do it anyway).
+    first = _one_data_file(spark, input_path)
+    if first is None:
+        raise FileNotFoundError(
+            f"no parquet shard under {input_path} to pin the stream "
+            "schema from — the first drain needs at least one file")
+    schema = spark.read.parquet(first).schema
 
-    reader = spark.readStream.schema(schema)
+    # maxFileAge default is 7d: a shard BACKFILLED with an old mtime
+    # (rsync -a / distcp of an old export) would be silently ignored on
+    # a resumed drain, violating every-shard-exactly-once.  Trade-off:
+    # a large age keeps the seen-files map growing with the directory —
+    # at millions of files, compact the landing dir instead.
+    reader = spark.readStream.schema(schema).option("maxFileAge", max_file_age)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src: DataFrame = reader.parquet(input_path)
