@@ -740,19 +740,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ORDER MATTERS: the driver checks only the FIRST 50 registered
     # queries, so the dict is ordered least-recently-driver-verified
-    # FIRST — round-5 rotation: s2 (red in r4, fixed oracle cast)
-    # leads, then the 14 relational queries green-in-r3 but rotated
-    # outside r4's window, then the r4-only-verified families; the
-    # doubly-verified (r3+r4) stable tail rotates out this round.
+    # FIRST — round-6 rotation: the 15 queries green-in-r4 but rotated
+    # outside r5's window lead (q2–q8, x1–x3, x5–x8, s3), then the 16
+    # r5-only rows (s2, s7, the relational family), then 18 of the 34
+    # doubly-verified (r4+r5) queries fill the prefix; the remaining
+    # 16 doubly-verified rows rotate out to the tail this round.
     # tests/test_entry_contract.py pins that every query without a
-    # green row in the latest CORRECTNESS file sits inside the
+    # green row in the last two CORRECTNESS files sits inside the
     # first-50 prefix.
     return {
-        # red in r4 (oracle HUGEINT cast bug, fixed) — stays first
+        # green r4 only, rotated outside r5's window — rotate back in
+        "q2_line_stats": _q_q2_line_stats,
+        "q3_alpha_ratio": _q_q3_alpha_ratio,
+        "q4_autogen": _q_q4_autogen,
+        "q5_pii_scrub": _q_q5_pii_scrub,
+        "q6_tox_scrub": _q_q6_tox_scrub,
+        "q7_keep_heuristic": _q_q7_keep_heuristic,
+        "q8_sha256": _q_q8_sha256,
+        "x1_token_count": _q_t_token_count,
+        "x2_quality_score": _q_t_quality_score,
+        "x3_langid_stopword": _q_t_langid_stopword,
+        "x5_token_histogram": _q_x5_token_histogram,
+        "x6_length_quantiles": _q_x6_length_quantiles,
+        "x7_pack_sequences": _q_x7_pack_sequences,
+        "x8_chunk_documents": _q_x8_chunk_documents,
+        "s3_time_rollup": _q_s3_time_rollup,
+        # green in r5 only (s2 fixed-oracle, s7 new-in-r5, relational)
         "s2_sessionize": _q_ev_sessionize,
-        # NEW round 5: streaming sessionizer run to completion
         "s7_sessionize_stream": _q_s7_sessionize_stream,
-        # relational (SURVEY §2.E): green r3, unchecked r4 — rotate in
         "r2_agg": R.q_agg,
         "r3_topk_window": R.q_topk_window,
         "r4_broadcast_join": R.q_broadcast_join,
@@ -767,7 +782,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_having_scalar": R.q_having_scalar,
         "r12_cube": R.q_cube,
         "r15_lag_delta": R.q_lag_delta,
-        # verified once, in r4 (streaming, multimodal, ANN, x4/x10)
+        # doubly-verified (r4+r5) core families filling the prefix
+        # detection dataflow (SURVEY §2.A)
+        "h1_normalize": _q_h1_normalize,
+        "h2_ngram_count": _q_h2_ngram_count,
+        "h4_h8_detect": _q_detect_documents,
+        # training dataflow (SURVEY §2.B)
+        "t2_ngram_counts": _q_t2_ngram_counts,
+        "t34_model_table": _q_t34_model_table,
+        # quality filter flagship rows (SURVEY §2.C)
+        "q1_perplexity": _q_q1_perplexity,
+        "pipeline_flagship": _q_pipeline_flagship,
+        # training-data ops: dedup / sampling
+        "d1_exact_dedup": _q_d1_exact_dedup,
+        "d2_minhash_neardup": _q_d2_minhash,
+        "d3_simhash": _q_d3_simhash,
+        "d3b_simhash_candidates": _q_d3b_simhash_candidates,
+        "d4_fingerprint": _q_d4_fingerprint,
+        "d5_jaccard_selfjoin": _q_d5_jaccard,
+        "d6_neardup_clusters": _q_d6_neardup_clusters,
+        "d7_stratified_sample": _q_d7_stratified_sample,
+        "d8_decontaminate": _q_d8_decontaminate,
+        "d9_balanced_sample": _q_d9_balanced_sample,
+        "x4_repetition": _q_t_repetition,
+        # --- doubly-verified (green r4 AND r5) tail: rotates outside
+        # the 50-query window this round; all tail rows stay
+        # golden-pinned by pytest and sf0.1-validated
         "s1_events_windowed": _q_ev_windowed,
         "s4_dedup_stream": _q_s4_dedup_stream,
         "s5_session_window": _q_s5_session_window,
@@ -780,52 +820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_ann_lsh": _q_e_ann_lsh,
         "e3_ann_ivf": _q_e_ann_ivf,
         "e4_embedding_neardup": _q_e_neardup,
-        "x4_repetition": _q_t_repetition,
-        # detection dataflow (SURVEY §2.A)
-        "h1_normalize": _q_h1_normalize,
-        "h2_ngram_count": _q_h2_ngram_count,
-        "h4_h8_detect": _q_detect_documents,
-        # training dataflow (SURVEY §2.B)
-        "t2_ngram_counts": _q_t2_ngram_counts,
-        "t34_model_table": _q_t34_model_table,
-        # quality filter flagship rows (SURVEY §2.C)
-        "q1_perplexity": _q_q1_perplexity,
-        "pipeline_flagship": _q_pipeline_flagship,
-        # training-data ops: dedup / sampling / temporal
-        "d1_exact_dedup": _q_d1_exact_dedup,
-        "d2_minhash_neardup": _q_d2_minhash,
-        "d3_simhash": _q_d3_simhash,
-        "d3b_simhash_candidates": _q_d3b_simhash_candidates,
-        "d4_fingerprint": _q_d4_fingerprint,
-        "d5_jaccard_selfjoin": _q_d5_jaccard,
-        "d6_neardup_clusters": _q_d6_neardup_clusters,
-        "d7_stratified_sample": _q_d7_stratified_sample,
-        "d8_decontaminate": _q_d8_decontaminate,
-        "d9_balanced_sample": _q_d9_balanced_sample,
+        "x9_word_freqs": _q_x9_word_freqs,
         "r1_filter_project": R.q_filter_project,
         "r13_asof_join": _q_r13_asof_join,
         "r14_range_join": _q_r14_range_join,
-        "x9_word_freqs": _q_x9_word_freqs,
-        # --- doubly-verified (green r3 AND r4) tail: rotates outside
-        # the 50-query window this round (s7's insertion pushed one
-        # green row out — review round-5 #1 caught x9 silently landing
-        # at index 50; s3 takes the tail slot instead, deliberately);
-        # all tail rows stay golden-pinned by pytest
-        "s3_time_rollup": _q_s3_time_rollup,
-        "x1_token_count": _q_t_token_count,
-        "x2_quality_score": _q_t_quality_score,
-        "x3_langid_stopword": _q_t_langid_stopword,
-        "x5_token_histogram": _q_x5_token_histogram,
-        "x6_length_quantiles": _q_x6_length_quantiles,
-        "x7_pack_sequences": _q_x7_pack_sequences,
-        "x8_chunk_documents": _q_x8_chunk_documents,
-        "q2_line_stats": _q_q2_line_stats,
-        "q3_alpha_ratio": _q_q3_alpha_ratio,
-        "q4_autogen": _q_q4_autogen,
-        "q5_pii_scrub": _q_q5_pii_scrub,
-        "q6_tox_scrub": _q_q6_tox_scrub,
-        "q7_keep_heuristic": _q_q7_keep_heuristic,
-        "q8_sha256": _q_q8_sha256,
     }
 
 
