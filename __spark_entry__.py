@@ -396,6 +396,59 @@ def _q_s7_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "session_start_us"))
 
 
+def _q_s8_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s8 — the INCREMENTAL-INGEST filter job (``run_filter_stream``,
+    round-5's production surface) driven to completion as a driver
+    query (VERDICT r5 #3: its only evidence was pytest).
+
+    Scenario: the documents table, mapped to the (repo,path,commit,
+    lang,content) input shape, lands in a directory as TWO
+    deterministic shards (split on xxhash64(path) parity — no
+    dependence on Spark partitioning).  Drain 1 sees only shard A;
+    shard B is then backfilled and drain 2 — a separate invocation
+    sharing the same checkpoint — must process EXACTLY the late shard
+    (checked loudly: a silent reprocess or skip would surface only as
+    an opaque row-count/hash mismatch).  The sink is read back via
+    ``spark.read`` (honoring the ``_spark_metadata`` commit log) and
+    must equal the batch flagship bit-for-bit — the oracle is the SAME
+    frozen golden as ``pipeline_flagship``."""
+    import tempfile
+
+    from yalder_spark.streaming.filter_stream import run_filter_stream
+
+    model, ppl = _models()
+    src = _documents_as_repo_table(spark, sf_dir)
+    late_pred = F.pmod(F.xxhash64("path"), F.lit(2)) == 1
+
+    tmp = tempfile.mkdtemp(prefix="s8_ingest_")
+    landing, out = f"{tmp}/landing", f"{tmp}/filtered"
+    src.filter(~late_pred).coalesce(2).write.parquet(landing)
+    n_total = src.count()
+    n_late = src.filter(late_pred).count()
+
+    rep1 = run_filter_stream(spark, landing, out, model, ppl,
+                             query_name="s8_filter_stream")
+    if rep1["n_input_rows"] != n_total - n_late:
+        raise RuntimeError(
+            f"s8 drain 1 processed {rep1['n_input_rows']} rows, expected "
+            f"{n_total - n_late} (shard A only)")
+
+    # the late shard lands; a FRESH invocation on the same checkpoint
+    # must drain exactly it (exactly-once across invocations)
+    src.filter(late_pred).coalesce(2).write.mode("append").parquet(landing)
+    rep2 = run_filter_stream(spark, landing, out, model, ppl,
+                             query_name="s8_filter_stream")
+    if rep2["n_input_rows"] != n_late:
+        raise RuntimeError(
+            f"s8 drain 2 processed {rep2['n_input_rows']} rows, expected "
+            f"the late shard's {n_late} exactly — incremental resume "
+            f"regressed (reprocess or skip)")
+
+    return (spark.read.parquet(out)
+            .select("repo", "path", "detected_lang", "keep", "drop_reason",
+                    "pii_hits", "tox_hits", "content_sha256"))
+
+
 def _q_m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.multimodal import frame_sample, synth_media
 
@@ -749,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row in the last two CORRECTNESS files sits inside the
     # first-50 prefix.
     return {
+        # NEW round 6: incremental-ingest filter job, no evidence yet
+        "s8_filter_stream": _q_s8_filter_stream,
         # green r4 only, rotated outside r5's window — rotate back in
         "q2_line_stats": _q_q2_line_stats,
         "q3_alpha_ratio": _q_q3_alpha_ratio,
@@ -806,7 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_balanced_sample": _q_d9_balanced_sample,
         "x4_repetition": _q_t_repetition,
         # --- doubly-verified (green r4 AND r5) tail: rotates outside
-        # the 50-query window this round; all tail rows stay
+        # the 50-query window this round (s8's insertion at the head
+        # pushes s1 from slot 50 into the tail); all tail rows stay
         # golden-pinned by pytest and sf0.1-validated
         "s1_events_windowed": _q_ev_windowed,
         "s4_dedup_stream": _q_s4_dedup_stream,
@@ -1505,4 +1561,8 @@ def oracle_sql() -> dict[str, str]:
     }
     for name in _GOLDEN_QUERIES:
         out[name] = _golden_sql(name)
+    # s8 drains the SAME input through the SAME filter incrementally —
+    # its contract is bit-equality with the batch flagship, so it shares
+    # the flagship's frozen golden rather than getting its own.
+    out["s8_filter_stream"] = _golden_sql("pipeline_flagship")
     return out
