@@ -82,6 +82,12 @@ def main() -> None:
         ap.error("--checkpoint/--max-files-per-trigger require "
                  "--streaming (the batch job uses the bucket manifest, "
                  "not a streaming checkpoint)")
+    if args.streaming and args.buckets != ap.get_default("buckets"):
+        # symmetric with the check above (ADVICE r5 #3): streaming has
+        # no bucket manifest, so a non-default --buckets would be
+        # silently ignored — refuse instead
+        ap.error("--buckets applies to the batch manifest job only; "
+                 "remove it when using --streaming")
 
     from yalder_spark.pipeline import build_session, run_filter
 

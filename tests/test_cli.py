@@ -67,7 +67,7 @@ def test_run_filter_cli(cli_input, tmp_path):
     assert persisted["run_id"] == report["run_id"]
 
 
-def test_run_filter_cli_streaming(cli_input, tmp_path):
+def test_run_filter_cli_streaming(cli_input, tmp_path, spark):
     """--streaming drains a landing DIRECTORY via availableNow; a
     second invocation in a FRESH process resumes from the checkpoint
     and processes nothing — cross-process exactly-once, which the
@@ -88,12 +88,34 @@ def test_run_filter_cli_streaming(cli_input, tmp_path):
     report2 = json.loads(_run_cli(*args).strip().splitlines()[-1])
     assert report2["n_input_rows"] == 0
 
-    # sink has a streaming commit log and exactly the input's rows
+    # sink has a streaming commit log and exactly the input's rows —
+    # read through spark.read so only COMMITTED files count (ADVICE r5
+    # #4: a pandas glob would also see uncommitted partial-trigger
+    # files, over-counting instead of catching the real invariant)
     assert os.path.isdir(os.path.join(out, "_spark_metadata"))
-    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
-    got = pd.concat([pd.read_parquet(os.path.join(out, f)) for f in parts])
+    got = spark.read.parquet(out).select("keep").toPandas()
     assert len(got) == len(pdf)
     assert got["keep"].any() and (~got["keep"]).any()
+
+
+def test_run_filter_cli_rejects_conflicting_flags(tmp_path):
+    """Arg-vs-arg validation fires BEFORE the JVM spins up (exit 2,
+    fast): streaming-only flags without --streaming, batch-only
+    --buckets with --streaming (ADVICE r5 #3), and the
+    iceberg-streaming seam this build lacks."""
+    for extra in (
+        ["--checkpoint", str(tmp_path / "c")],
+        ["--max-files-per-trigger", "2"],
+        ["--streaming", "--buckets", "8"],
+        ["--streaming", "--input-format", "iceberg"],
+    ):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "run_filter.py"),
+             "--input", "x", "--output", "y", "--model", "m",
+             "--ppl-model", "p", *extra],
+            capture_output=True, text=True, timeout=60)
+        assert proc.returncode == 2, (extra, proc.stderr[-500:])
+        assert "usage:" in proc.stderr
 
 
 def test_run_curate_cli_resumable(cli_input, tmp_path):

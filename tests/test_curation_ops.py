@@ -320,6 +320,23 @@ def test_cc_raises_on_non_convergence(spark):
     assert set(got.values()) == {0} and len(got) == 7
 
 
+def test_auto_max_iter_caps_both_phases(spark):
+    """ADVICE r5 #2: algorithm='auto' must honor the caller's max_iter
+    in BOTH phases.  max_iter=1 on a chain that needs >=2 rounds under
+    either algorithm raises, instead of the pre-fix behavior (the label
+    probe silently ran its full 8-round budget and succeeded)."""
+    from yalder_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        neardup_clusters(pairs, max_iter=1, algorithm="auto")
+    got = {r.doc_id: r.cluster_rep
+           for r in neardup_clusters(pairs, max_iter=10,
+                                     algorithm="auto").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
 # ---------------------------------------------------------------- d9
 
 def test_balanced_sample_exact_k_and_deterministic(spark):

@@ -130,6 +130,31 @@ def test_run_filter_stream_incremental(spark, tmp_path, model_artifact,
     assert len(spark.read.parquet(out).toPandas()) == len(got2)
 
 
+def test_run_filter_stream_report_exact_past_progress_buffer(
+        spark, tmp_path, model_artifact, ppl_model):
+    """The report is listener-accumulated (ADVICE r5 #1), so it stays
+    exact when the drain has more triggers than ``recentProgress``
+    retains.  Cheap proxy for a >100-trigger drain (minutes of fixed
+    per-trigger cost): shrink the buffer bound below the batch count
+    and assert the report still counts every row."""
+    from yalder_spark.streaming.filter_stream import run_filter_stream
+
+    shards = _shards(n=120, n_shards=8)
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    for sh in shards:
+        spark.createDataFrame(sh).coalesce(1).write.mode("append").parquet(inp)
+    saved = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "3")
+    try:
+        rep = run_filter_stream(spark, inp, out, model_artifact, ppl_model,
+                                max_files_per_trigger=1)
+    finally:
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", saved)
+    assert rep["count_exact"] is True
+    assert rep["n_batches"] == len(shards)  # beyond the 3-entry buffer
+    assert rep["n_input_rows"] == sum(len(s) for s in shards)
+
+
 def test_stream_filter_drop_rows_present(spark, tmp_path, model_artifact,
                                          ppl_model):
     """The streamed output carries DROPPED rows too (keep=False with a

@@ -577,13 +577,18 @@ def neardup_clusters(pairs: DataFrame, max_iter: int | None = None,
     diameters, where star is O(log n) and label propagation is
     O(diameter)).  The escalation restart wastes the budgeted label
     rounds — a bounded, measured cost paid only on the pathological
-    shape."""
+    shape.  A caller-supplied ``max_iter`` caps BOTH phases in auto
+    mode: the label probe runs min(8, max_iter) rounds and the star
+    fallback gets max_iter as its own budget (ADVICE r5 #2 — before,
+    ``max_iter=3`` still ran up to 8 label rounds)."""
     if algorithm == "star":
         return (neardup_clusters_star(pairs) if max_iter is None
                 else neardup_clusters_star(pairs, max_iter))
     if algorithm == "auto":
+        label_budget = 8 if max_iter is None else min(8, max_iter)
         try:
-            return neardup_clusters(pairs, max_iter=8, algorithm="label")
+            return neardup_clusters(pairs, max_iter=label_budget,
+                                    algorithm="label")
         except RuntimeError:
             return (neardup_clusters_star(pairs) if max_iter is None
                     else neardup_clusters_star(pairs, max_iter))

@@ -33,13 +33,55 @@ O(files seen), not O(rows).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
 
 from ..operators.filter import FilterConfig, quality_filter
 from ..operators.model import LanguageModel
 
 __all__ = ["run_filter_stream"]
+
+
+class _ProgressCounter(StreamingQueryListener):
+    """Accumulates per-query input-row counts from progress events.
+
+    ``StreamingQuery.recentProgress`` is a bounded buffer
+    (``spark.sql.streaming.numRecentProgressUpdates``, default 100), so
+    summing it under-reports drains with more triggers than the bound.
+    A listener sees EVERY progress event, making the report exact for
+    any drain length.  Events arrive on a separate delivery thread, so
+    everything is buffered per query id and read only after the
+    query's terminated event (or a deadline) — no filtering races with
+    the caller learning the query id post-``start()``."""
+
+    def __init__(self):
+        self.batches: dict[str, list[int]] = {}
+        self.terminated: set[str] = set()
+
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        # list.append under the GIL is atomic enough for the single
+        # delivery thread + single reader here
+        self.batches.setdefault(str(p.id), []).append(int(p.numInputRows))
+
+    def onQueryIdle(self, event):
+        pass
+
+    def onQueryTerminated(self, event):
+        self.terminated.add(str(event.id))
+
+    def wait_terminated(self, query_id: str, timeout_sec: float = 30.0) -> bool:
+        deadline = time.monotonic() + timeout_sec
+        while time.monotonic() < deadline:
+            if query_id in self.terminated:
+                return True
+            time.sleep(0.05)
+        return query_id in self.terminated
 
 
 def _one_data_file(spark: SparkSession, path: str) -> str | None:
@@ -124,21 +166,34 @@ def run_filter_stream(spark: SparkSession, input_path: str,
     if not available_now:
         return writer.start()
 
-    q = writer.trigger(availableNow=True).start()
+    # a listener sees every progress event, so the report stays exact
+    # past recentProgress's ~100-entry buffer (ADVICE r5 #1)
+    counter = _ProgressCounter()
+    spark.streams.addListener(counter)
     try:
-        q.awaitTermination()
+        q = writer.trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        qid = str(q.id)
+        exact = counter.wait_terminated(qid)
+        if exact:
+            filled = [n for n in counter.batches.get(qid, []) if n > 0]
+        else:
+            # terminated event never arrived (shouldn't happen) — fall
+            # back to the bounded buffer and SAY SO rather than report
+            # a possibly-clipped count as exact
+            filled = [int(p["numInputRows"]) for p in q.recentProgress
+                      if int(p["numInputRows"]) > 0]
     finally:
-        q.stop()
-    # recentProgress is a bounded buffer (spark.sql.streaming
-    # .numRecentProgressUpdates, default 100) — exact for any sane
-    # max_files_per_trigger; a >100-batch drain under-counts the report
-    # (the DATA is still exactly-once; only this summary is clipped).
-    progress = [p for p in q.recentProgress if int(p["numInputRows"]) > 0]
+        spark.streams.removeListener(counter)
     return {
         "query_name": query_name,
         "input": input_path,
         "output": output_path,
         "checkpoint": checkpoint,
-        "n_input_rows": sum(int(p["numInputRows"]) for p in progress),
-        "n_batches": len(progress),
+        "n_input_rows": sum(filled),
+        "n_batches": len(filled),
+        "count_exact": exact,
     }
