@@ -320,6 +320,38 @@ def test_cc_raises_on_non_convergence(spark):
     assert set(got.values()) == {0} and len(got) == 7
 
 
+def test_reliable_checkpoint_parity(spark, tmp_path):
+    """VERDICT r5 #6: the reliable (driver-checkpoint-dir) lineage cut
+    must be value-identical to the default localCheckpoint path, and
+    must fail LOUDLY — not escalate to star — when no checkpoint dir
+    is set."""
+    from yalder_spark.operators.dedup import neardup_clusters
+    from yalder_spark.operators.textstats import tfidf_topk
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  "id_a long, id_b long")
+    base = {(r.doc_id, r.cluster_rep)
+            for r in neardup_clusters(pairs).collect()}
+    with pytest.raises(RuntimeError, match="checkpoint directory"):
+        neardup_clusters(pairs, reliable_checkpoint=True)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "sc_ckpt"))
+    got = {(r.doc_id, r.cluster_rep)
+           for r in neardup_clusters(pairs,
+                                     reliable_checkpoint=True).collect()}
+    assert got == base
+    star = {(r.doc_id, r.cluster_rep)
+            for r in neardup_clusters(pairs, algorithm="star",
+                                      reliable_checkpoint=True).collect()}
+    assert star == base
+
+    docs = spark.createDataFrame([(1, "a b a"), (2, "b c")],
+                                 "doc_id long, text string")
+    want = [tuple(r) for r in tfidf_topk(docs, materialize=True).collect()]
+    have = [tuple(r) for r in tfidf_topk(docs, materialize=True,
+                                         reliable_checkpoint=True).collect()]
+    assert have == want
+
+
 def test_auto_max_iter_caps_both_phases(spark):
     """ADVICE r5 #2: algorithm='auto' must honor the caller's max_iter
     in BOTH phases.  max_iter=1 on a chain that needs >=2 rounds under

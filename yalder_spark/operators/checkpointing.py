@@ -1,0 +1,47 @@
+"""Lineage truncation for iterative operators (SURVEY §2 S3 scale note).
+
+Iterative DataFrame algorithms (d6 connected components, x10's
+materialized result) must cut their lineage every round — an unbounded
+iterative plan re-executes from the scan each round and eventually
+blows the planner.  Two ways to cut it:
+
+* ``localCheckpoint`` (default) — blocks live in executor storage
+  memory.  Fast (no FS round-trip), but the blocks DIE WITH AN
+  EXECUTOR: on a real cluster, one lost executor mid-iteration fails
+  the job unrecoverably (the lineage needed to recompute the block was
+  just truncated).  Fine in-sandbox and for short jobs on reliable
+  nodes.
+* ``checkpoint`` (``reliable=True``) — blocks are written to the
+  SparkContext checkpoint directory (HDFS/S3).  Survives executor
+  loss; costs one write+read of the iteration state per round.  The
+  right choice for long-running CC over billions of edges, where the
+  probability of losing at least one executor mid-job approaches 1.
+
+The iteration STATE here is tiny relative to the corpus ((id, label)
+or (a, b) pairs — never text), so the reliable path's per-round FS
+cost is proportional to the graph, not the data; see SCALE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["truncate_lineage"]
+
+
+def truncate_lineage(df: DataFrame, reliable: bool = False) -> DataFrame:
+    """Eagerly materialize ``df`` and drop its lineage.
+
+    ``reliable=False`` -> ``localCheckpoint`` (executor-local blocks);
+    ``reliable=True``  -> ``checkpoint`` into the SparkContext
+    checkpoint dir, which must have been set — fails loudly otherwise
+    instead of letting Spark raise from deep inside an iteration."""
+    if not reliable:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if not sc._jsc.sc().getCheckpointDir().isDefined():
+        raise RuntimeError(
+            "reliable_checkpoint requires a checkpoint directory: call "
+            "spark.sparkContext.setCheckpointDir('<hdfs/s3/dir>') before "
+            "running the operator")
+    return df.checkpoint(eager=True)

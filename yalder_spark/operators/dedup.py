@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from yalder_spark.functions.ngram import batch_ngram_hashes
+from yalder_spark.operators.checkpointing import truncate_lineage
 
 MERSENNE = (1 << 61) - 1
 N_PERM = 64
@@ -536,7 +537,8 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95,
 
 
 def neardup_clusters(pairs: DataFrame, max_iter: int | None = None,
-                     algorithm: str = "auto") -> DataFrame:
+                     algorithm: str = "auto",
+                     reliable_checkpoint: bool = False) -> DataFrame:
     """d6 — connected components over near-dup candidate pairs:
     (id_a, id_b) edges -> (doc_id, cluster_rep) where cluster_rep is
     the MIN doc id of the component.  The principled survivor rule for
@@ -580,18 +582,38 @@ def neardup_clusters(pairs: DataFrame, max_iter: int | None = None,
     shape.  A caller-supplied ``max_iter`` caps BOTH phases in auto
     mode: the label probe runs min(8, max_iter) rounds and the star
     fallback gets max_iter as its own budget (ADVICE r5 #2 — before,
-    ``max_iter=3`` still ran up to 8 label rounds)."""
+    ``max_iter=3`` still ran up to 8 label rounds).
+
+    ``reliable_checkpoint=True`` cuts per-iteration lineage with
+    ``df.checkpoint()`` into the SparkContext checkpoint dir instead
+    of ``localCheckpoint`` — on a real cluster an executor loss kills
+    localCheckpoint blocks mid-iteration and the job with them (the
+    truncated lineage can't recompute); see
+    operators/checkpointing.py and SCALE.md.  Default off: in-sandbox
+    (and for short jobs) the executor-local form is strictly faster."""
     if algorithm == "star":
-        return (neardup_clusters_star(pairs) if max_iter is None
-                else neardup_clusters_star(pairs, max_iter))
+        return (neardup_clusters_star(pairs,
+                                      reliable_checkpoint=reliable_checkpoint)
+                if max_iter is None
+                else neardup_clusters_star(
+                    pairs, max_iter,
+                    reliable_checkpoint=reliable_checkpoint))
     if algorithm == "auto":
         label_budget = 8 if max_iter is None else min(8, max_iter)
         try:
             return neardup_clusters(pairs, max_iter=label_budget,
-                                    algorithm="label")
-        except RuntimeError:
-            return (neardup_clusters_star(pairs) if max_iter is None
-                    else neardup_clusters_star(pairs, max_iter))
+                                    algorithm="label",
+                                    reliable_checkpoint=reliable_checkpoint)
+        except RuntimeError as e:
+            if "converge" not in str(e):
+                raise  # config errors must not masquerade as diameter
+
+            return (neardup_clusters_star(
+                        pairs, reliable_checkpoint=reliable_checkpoint)
+                    if max_iter is None
+                    else neardup_clusters_star(
+                        pairs, max_iter,
+                        reliable_checkpoint=reliable_checkpoint))
     if algorithm != "label":
         raise ValueError(f"algorithm must be 'label', 'star', or "
                          f"'auto', got {algorithm!r}")
@@ -599,13 +621,15 @@ def neardup_clusters(pairs: DataFrame, max_iter: int | None = None,
         max_iter = 25
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+
+    def _ckpt(d: DataFrame) -> DataFrame:
+        return truncate_lineage(d, reliable_checkpoint)
+
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = (edges.union(edges.select(F.col("dst").alias("src"),
-                                      F.col("src").alias("dst")))
-             .localCheckpoint(eager=True))
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("lbl", F.col("id"))
-              .localCheckpoint(eager=True))
+    edges = _ckpt(edges.union(edges.select(F.col("dst").alias("src"),
+                                           F.col("src").alias("dst"))))
+    labels = _ckpt(edges.select(F.col("src").alias("id")).distinct()
+                   .withColumn("lbl", F.col("id")))
     for _ in range(max_iter):
         nbr_min = (edges.join(labels.select(F.col("id").alias("dst"),
                                             F.col("lbl").alias("dst_lbl")),
@@ -620,8 +644,8 @@ def neardup_clusters(pairs: DataFrame, max_iter: int | None = None,
             .select("id",
                     F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
                     (F.coalesce("nbr_lbl", "lbl") < F.col("lbl"))
-                    .cast("int").alias("chg"))
-            .localCheckpoint(eager=True))
+                    .cast("int").alias("chg")))
+        new_labels = _ckpt(new_labels)
         n_changed = new_labels.agg(
             F.coalesce(F.sum("chg"), F.lit(0))).first()[0]
         labels = new_labels.drop("chg")
@@ -638,7 +662,8 @@ def neardup_clusters(pairs: DataFrame, max_iter: int | None = None,
                          F.col("lbl").alias("cluster_rep"))
 
 
-def neardup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def neardup_clusters_star(pairs: DataFrame, max_iter: int = 30,
+                          reliable_checkpoint: bool = False) -> DataFrame:
     """d6 (adversarial-diameter variant) — connected components via
     alternating large-star/small-star (Kiveris et al. 2014, "Connected
     Components in MapReduce and Beyond"): converges in O(log n) rounds
@@ -661,14 +686,18 @@ def neardup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     truncates lineage exactly as in the label-propagation form."""
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    nodes = (pairs.select(F.col("id_a").alias("id"))
-             .union(pairs.select(F.col("id_b").alias("id")))
-             .distinct().localCheckpoint(eager=True))
+
+    def _ckpt(d: DataFrame) -> DataFrame:
+        return truncate_lineage(d, reliable_checkpoint)
+
+    nodes = _ckpt(pairs.select(F.col("id_a").alias("id"))
+                  .union(pairs.select(F.col("id_b").alias("id")))
+                  .distinct())
     # canonical big->small orientation, self-loops dropped
-    edges = (pairs.select(F.greatest("id_a", "id_b").alias("a"),
-                          F.least("id_a", "id_b").alias("b"))
-             .filter(F.col("a") != F.col("b"))
-             .distinct().localCheckpoint(eager=True))
+    edges = _ckpt(pairs.select(F.greatest("id_a", "id_b").alias("a"),
+                               F.least("id_a", "id_b").alias("b"))
+                  .filter(F.col("a") != F.col("b"))
+                  .distinct())
 
     def _sig(e: DataFrame):
         # sum the 64-bit hashes in DECIMAL(38,0): an int64 sum would
@@ -698,7 +727,8 @@ def neardup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
                         .select(F.col("a").alias("x"), F.col("m")))
                  .filter(F.col("x") != F.col("m"))
                  .select(F.col("x").alias("a"), F.col("m").alias("b"))
-                 .distinct().localCheckpoint(eager=True))
+                 .distinct())
+        small = _ckpt(small)
         new_sig = _sig(small)
         edges = small
         if new_sig == sig:

@@ -269,7 +269,8 @@ def length_quantiles(df: DataFrame, value_col: str = "n_chars",
 def tfidf_topk(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", k: int = 5,
                cache_tf: bool = True,
-               materialize: bool = False) -> DataFrame:
+               materialize: bool = False,
+               reliable_checkpoint: bool = False) -> DataFrame:
     """x10 — TF-IDF top-k terms per document, fully declarative (no
     UDF): tf = term count per (doc, term) over the frozen `ws_tokens`
     whitespace rule; document frequency from the same relation;
@@ -332,7 +333,12 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
                    "tfidf", "rk")
            .orderBy(id_col, "rk"))
     if materialize:
-        out = out.localCheckpoint(eager=True)
+        # reliable_checkpoint: executor-loss-safe materialization on a
+        # real cluster (localCheckpoint blocks die with an executor);
+        # see operators/checkpointing.py + SCALE.md
+        from yalder_spark.operators.checkpointing import truncate_lineage
+
+        out = truncate_lineage(out, reliable_checkpoint)
         if cache_tf:
             tf.unpersist()
     return out
