@@ -1,0 +1,153 @@
+"""d5 PPJoin END-TO-END crossover (round-5 VERDICT #4).
+
+Round 5 measured candidate-stage reduction (96.1% at max_df=500) but
+end-to-end wall-clock still LOST at 50k docs — the filter's fixed extra
+stages dominate when the verify join is cheap.  This script measures
+the full operator (candidates + verify) at df-cut points where the
+unguarded pair count explodes (max_df 500 → 16M pair rows, 1000 → ~60M,
+2000 → 169M on the sf0.1 corpus) to find where the filter WINS, and the
+result feeds `jaccard_selfjoin(prefix_filter="auto")`'s threshold.
+
+Each point runs in a FRESH subprocess JVM (an OOM at one point must not
+eat earlier results; also per CLAUDE.md the first timed algorithm in a
+JVM absorbs warm-up, so each child does one untimed warm-up pass at
+max_df=100 then min-of-2 per variant).  Run alone — no concurrent
+Spark/pytest.
+
+Writes BENCH/round6_d5.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+POINTS = (500, 1000, 2000)
+THRESHOLD = 0.8
+CHILD_TIMEOUT = 1800
+
+
+def child(max_df: int) -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from yalder_spark.operators.dedup import jaccard_selfjoin
+
+    spark = (SparkSession.builder.appName(f"d5x-{max_df}")
+             .master(f"local[{CPUS}]")
+             .config("spark.driver.memory", "48g")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.skewJoin.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    n_docs = docs.count()
+
+    # untimed warm-up: same operator, cheap cut — absorbs scan/codegen
+    jaccard_selfjoin(docs, threshold=THRESHOLD, max_df=100).collect()
+
+    runs = {}
+    for pf in (False, True):
+        best, n_pairs, pairs = None, None, None
+        for _ in range(2):
+            t0 = time.monotonic()
+            out = jaccard_selfjoin(docs, threshold=THRESHOLD,
+                                   max_df=max_df, prefix_filter=pf)
+            got = sorted((r.id_a, r.id_b, r.n_common, r.jaccard)
+                         for r in out.collect())
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+            n_pairs, pairs = len(got), got
+        runs[pf] = {"sec": round(best, 3), "n_pairs": n_pairs,
+                    "pairs": pairs}
+        print(f"  max_df={max_df} prefix_filter={pf}: {best:.2f}s "
+              f"{n_pairs} pairs", file=sys.stderr, flush=True)
+    parity = runs[False]["pairs"] == runs[True]["pairs"]
+
+    # estimated unguarded join volume from the df histogram (what the
+    # auto heuristic can compute cheaply before choosing a strategy)
+    from yalder_spark.operators.dedup import shingle_relation
+    shd, _, _ = shingle_relation(docs, max_df=max_df)
+    est = (shd.groupBy("s").agg(F.first("df_cnt").alias("d"))
+           .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2)).first()[0])
+    print("RESULT " + json.dumps({
+        "max_df": max_df, "n_docs": n_docs,
+        "est_join_pair_rows": int(est or 0),
+        "est_pairs_per_doc": round(float(est or 0) / n_docs, 1),
+        "baseline_sec": runs[False]["sec"],
+        "ppjoin_sec": runs[True]["sec"],
+        "n_output_pairs": runs[False]["n_pairs"],
+        "parity": parity,
+    }), flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    results = []
+    for max_df in POINTS:
+        env = dict(os.environ, D5X_POINT=str(max_df), PYTHONPATH=REPO)
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              timeout=CHILD_TIMEOUT)
+        sys.stderr.write(proc.stderr[-2000:])
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("RESULT ")), None)
+        if proc.returncode != 0 or line is None:
+            results.append({"max_df": max_df, "error":
+                            f"rc={proc.returncode} (OOM or timeout)"})
+            print(f"point {max_df} FAILED rc={proc.returncode}", flush=True)
+            continue
+        results.append(json.loads(line[len("RESULT "):]))
+        print(results[-1], flush=True)
+
+    ok = [r for r in results if "error" not in r]
+    wins = [r for r in ok if r["ppjoin_sec"] < r["baseline_sec"]]
+    losses = [r for r in ok if r not in wins]
+    crossover = min((r["est_pairs_per_doc"] for r in wins), default=None)
+    # auto-flip is only worth encoding if the win margin is material
+    # (>=25%) AND no point below the crossover loses badly (a single
+    # threshold must not trade a small corner win for a big regression
+    # one operating point lower)
+    best_win = max((1 - r["ppjoin_sec"] / r["baseline_sec"] for r in wins),
+                   default=0.0)
+    worst_loss = max((r["ppjoin_sec"] / r["baseline_sec"] - 1
+                      for r in losses), default=0.0)
+    adopt_auto = best_win >= 0.25 and worst_loss <= best_win
+    out = {
+        "sf_dir": SF_DIR, "cores": CPUS, "threshold": THRESHOLD,
+        "points": results,
+        "parity_all": all(r.get("parity") for r in ok),
+        "crossover_est_pairs_per_doc": crossover,
+        "note": ("end-to-end (candidates + verify), warm min-of-2 per "
+                 "variant, fresh JVM per point"),
+        "decision": {
+            "default_prefix_filter": False,
+            "auto_heuristic": "adopt" if adopt_auto else "rejected",
+            "best_win_margin": round(best_win, 3),
+            "worst_loss_margin": round(worst_loss, 3),
+            "rationale": (
+                "enable prefix_filter when est_pairs_per_doc >= crossover"
+                if adopt_auto else
+                "win margin too small and/or a sub-crossover point loses "
+                "worse than the best win gains — PPJoin stays a "
+                "documented, parity-tested opt-in experiment; the scale "
+                "path for loose-df-cut corpora is d2 MinHash-LSH pruning "
+                "+ d5 exact on bounded subsets"),
+        },
+    }
+    with open(os.path.join(REPO, "BENCH", "round6_d5.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "D5X_POINT" in os.environ:
+        child(int(os.environ["D5X_POINT"]))
+    else:
+        main()

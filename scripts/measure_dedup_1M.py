@@ -1,0 +1,218 @@
+"""10x-scale probe for the dedup chain (round-5 VERDICT #5).
+
+The 1M-file plateau evidence covers filter/detect; d2/d6 were measured
+at 5k-50k docs.  This probe runs `curate_corpus`'s dedup prefix — exact
+dedup -> MinHash-LSH candidates -> exact-Jaccard verify -> connected
+components -> survivor anti-join, composed exactly as
+`pipeline._dedup_survivors` composes it — at 250k / 500k / 1M docs and
+records a per-stage wall breakdown, looking for a superlinear stage.
+
+Input is synthesized DISTRIBUTEDLY and deterministically (sha2-token
+docs; no driver-side generation, no RNG): ~264-char documents of eight
+32-hex-char tokens keyed on the doc id, with 2% planted exact twins
+(id%50==1 copies id-1) and 2% planted near twins (id%50==2 shares 7 of
+8 tokens with id-2 -> shingle Jaccard ~0.78 >= the 0.7 threshold).
+Planted rates are scale-invariant, so every stage's output grows
+linearly in n by construction and any superlinear WALL growth is the
+algorithm's fault, not the workload's.
+
+Each size runs in a fresh subprocess JVM (cold-start isolation; an OOM
+at 1M must not eat the smaller points) with an untimed 50k warm-up
+pass.  Run alone — no concurrent Spark/pytest.
+
+Writes BENCH/round6_dedup_1M.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SIZES = (250_000, 500_000, 1_000_000)
+THRESHOLD = 0.7
+CHILD_TIMEOUT = 2400
+
+
+def synth_docs(spark, n: int):
+    from pyspark.sql import functions as F
+
+    ids = spark.range(n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("doc_id"))
+    body_key = (F.when(F.col("doc_id") % 50 == 1, F.col("doc_id") - 1)
+                .when(F.col("doc_id") % 50 == 2, F.col("doc_id") - 2)
+                .otherwise(F.col("doc_id")))
+    # near twins keep their OWN last token -> 7/8 tokens shared
+    tail_key = (F.when(F.col("doc_id") % 50 == 1, F.col("doc_id") - 1)
+                .otherwise(F.col("doc_id")))
+    toks = [F.sha2(F.concat_ws("-", body_key.cast("string"),
+                               F.lit(f"t{j}"), F.lit("r6probe")), 256)
+            .substr(1, 32) for j in range(7)]
+    toks.append(F.sha2(F.concat_ws("-", tail_key.cast("string"),
+                                   F.lit("t7"), F.lit("r6probe")), 256)
+                .substr(1, 32))
+    return ids.select(
+        F.concat(F.lit("repo-"), (F.col("doc_id") % 1024).cast("string")
+                 ).alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40)
+        .alias("commit"),
+        F.concat_ws(" ", *toks).alias("content"),
+    )
+
+
+def child(n: int) -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from yalder_spark.operators.dedup import (exact_dedup,
+                                              minhash_lsh_candidates,
+                                              neardup_clusters,
+                                              ngram_jaccard_pairs)
+
+    spark = (SparkSession.builder.appName(f"dedup1M-{n}")
+             .master(f"local[{CPUS}]")
+             .config("spark.driver.memory", "48g")
+             .config("spark.sql.shuffle.partitions", str(CPUS * 2))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.skewJoin.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+
+    # untimed warm-up: the whole chain at 50k (JVM/codegen/Python
+    # workers absorb cold-start here, not in a timed stage)
+    warm = synth_docs(spark, 50_000).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")).cache()
+    warm.count()
+    ke = exact_dedup(warm, "content", "doc_id")
+    wu = warm.join(ke.select(F.col("keep_id").alias("doc_id")),
+                   "doc_id", "left_semi")
+    wc = minhash_lsh_candidates(wu, "content", "doc_id").cache()
+    wc.count()
+    wp = (ngram_jaccard_pairs(wu, wc, "content", "doc_id")
+          .filter(F.col("jaccard") >= THRESHOLD).select("id_a", "id_b"))
+    neardup_clusters(wp).count()  # warms CC's localCheckpoint machinery
+    warm.unpersist(); wc.unpersist()
+
+    stages, counts = {}, {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        counts[name] = fn()
+        stages[name] = round(time.monotonic() - t0, 2)
+        print(f"  n={n} {name}: {stages[name]}s -> {counts[name]}",
+              file=sys.stderr, flush=True)
+
+    docs = synth_docs(spark, n).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")).cache()
+    timed("synth_cache", docs.count)
+
+    keep_exact = None
+
+    def s_exact():
+        nonlocal keep_exact
+        keep_exact = (exact_dedup(docs, "content", "doc_id")
+                      .select(F.col("keep_id").alias("doc_id")).cache())
+        return keep_exact.count()
+    timed("exact_dedup", s_exact)
+    uniq = docs.join(keep_exact, "doc_id", "left_semi")
+
+    cand = None
+
+    def s_cand():
+        nonlocal cand
+        cand = minhash_lsh_candidates(uniq, "content", "doc_id").cache()
+        return cand.count()
+    timed("minhash_lsh_candidates", s_cand)
+
+    pairs = None
+
+    def s_verify():
+        nonlocal pairs
+        pairs = (ngram_jaccard_pairs(uniq, cand, "content", "doc_id")
+                 .filter(F.col("jaccard") >= THRESHOLD)
+                 .select("id_a", "id_b").cache())
+        return pairs.count()
+    timed("jaccard_verify", s_verify)
+
+    drop = None
+
+    def s_cluster():
+        nonlocal drop
+        drop = (neardup_clusters(pairs)
+                .filter(F.col("doc_id") != F.col("cluster_rep"))
+                .select("doc_id").cache())
+        return drop.count()
+    timed("cluster_cc", s_cluster)
+
+    timed("survivor_anti_join",
+          lambda: uniq.join(drop, "doc_id", "left_anti")
+          .select("doc_id").count())
+
+    total = round(sum(v for k, v in stages.items() if k != "synth_cache"), 2)
+    print("RESULT " + json.dumps({
+        "n_docs": n, "stages_sec": stages, "counts": counts,
+        "chain_sec": total,
+        "docs_per_sec": round(n / total, 1),
+    }), flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    results = []
+    for n in SIZES:
+        env = dict(os.environ, DEDUP1M_POINT=str(n), PYTHONPATH=REPO)
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              timeout=CHILD_TIMEOUT)
+        sys.stderr.write(proc.stderr[-2000:])
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("RESULT ")), None)
+        if proc.returncode != 0 or line is None:
+            results.append({"n_docs": n,
+                            "error": f"rc={proc.returncode}"})
+            print(f"point {n} FAILED rc={proc.returncode}", flush=True)
+            continue
+        results.append(json.loads(line[len("RESULT "):]))
+        print(results[-1], flush=True)
+
+    ok = [r for r in results if "error" not in r]
+    scaling = {}
+    if len(ok) >= 2:
+        lo, hi = ok[0], ok[-1]
+        ratio_n = hi["n_docs"] / lo["n_docs"]
+        import math
+        for st in hi["stages_sec"]:
+            if st == "synth_cache":
+                continue
+            r = hi["stages_sec"][st] / max(lo["stages_sec"][st], 0.01)
+            scaling[st] = {
+                "wall_ratio": round(r, 2),
+                # exponent e where wall ~ n^e over the measured span
+                "exponent": round(math.log(r) / math.log(ratio_n), 2),
+            }
+    out = {
+        "cores": CPUS, "threshold": THRESHOLD, "sizes": list(SIZES),
+        "points": results,
+        "scaling_lo_to_hi": scaling,
+        "note": ("planted dup rates are scale-invariant (2% exact, 2% "
+                 "near), so stage OUTPUTS grow linearly by construction; "
+                 "exponent ~1 = linear wall growth, >1.3 = superlinear "
+                 "suspect"),
+    }
+    with open(os.path.join(REPO, "BENCH", "round6_dedup_1M.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "DEDUP1M_POINT" in os.environ:
+        child(int(os.environ["DEDUP1M_POINT"]))
+    else:
+        main()

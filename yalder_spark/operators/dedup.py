@@ -334,16 +334,19 @@ def jaccard_selfjoin(df: DataFrame, text_col: str = "text",
     LENGTHEN a prefix (extra candidates), never shorten it (missed
     pairs).
 
-    MEASURED DEFAULT (off — BENCH/round5_d5.json): wall-clock loses at
-    both df-cut regimes on the 50k-doc corpus (max_df=100: 8.96 vs
-    9.85 s with only a 2.6% candidate cut; max_df=500: 16.4 vs 18.4 s
-    DESPITE a 96.1% candidate cut — 7.42M → 288k pairs, the position
-    filter alone removing 56% of prefix survivors) because the
-    filter's extra fixed stages (two windows, prefix self-join,
-    per-pair bound aggregate, separate verify joins) dominate at this
-    scale.  Candidate-volume reduction is the binding constraint only
-    when the verify join's shuffle volume outweighs those stages —
-    large corpora with loose df-cuts; that is when to turn it on.
+    MEASURED DEFAULT (off — BENCH/round5_d5.json candidate stages,
+    BENCH/round6_d5.json end-to-end): the round-6 verify-inclusive
+    curve settles it — at max_df=500 PPJoin loses (12.5 vs 17.2 s
+    despite the 96.1% candidate cut), at max_df=1000 it loses 2.4x
+    (26.0 vs 62.8 s — the prefix self-join's own volume grows with
+    the df-cut faster than the verify join it saves), and it wins
+    only at max_df=2000 (66.9 vs 59.7 s, +11%), a regime where the
+    df-cut is effectively abandoned.  An auto-flip heuristic was
+    REJECTED (chasing an 11% corner win risks a 140% regression one
+    operating point below the crossover); PPJoin stays an opt-in,
+    parity-tested experiment, and the scale path for loose-df-cut
+    corpora is d2 MinHash-LSH pruning + this operator exact on
+    bounded subsets.
 
     Plan shape: the df-cut is ONE window count over the shingle
     partitioning (not a separate aggregate + semi-join), and the two
