@@ -9,12 +9,18 @@ records a per-stage wall breakdown, looking for a superlinear stage.
 
 Input is synthesized DISTRIBUTEDLY and deterministically (sha2-token
 docs; no driver-side generation, no RNG): ~264-char documents of eight
-32-hex-char tokens keyed on the doc id, with 2% planted exact twins
+32-char tokens keyed on the doc id, with 2% planted exact twins
 (id%50==1 copies id-1) and 2% planted near twins (id%50==2 shares 7 of
 8 tokens with id-2 -> shingle Jaccard ~0.78 >= the 0.7 threshold).
-Planted rates are scale-invariant, so every stage's output grows
-linearly in n by construction and any superlinear WALL growth is the
-algorithm's fault, not the workload's.
+Tokens are LETTERS ONLY (hex digits translated a-p): the frozen
+normalize() spec strips digits, so raw sha2 hex would collapse to a
+~2,400-shingle [a-f ] space where RANDOM docs share enough shingles to
+flood LSH with candidates (first attempt burned 5 CPU-hours on 250k
+docs that way).  With 16 letters the space is ~10^5 and random-pair
+Jaccard ~0.002, so candidates are the planted ones.  Planted rates are
+scale-invariant, so every stage's output grows linearly in n by
+construction and any superlinear WALL growth is the algorithm's
+fault, not the workload's.
 
 Each size runs in a fresh subprocess JVM (cold-start isolation; an OOM
 at 1M must not eat the smaller points) with an untimed 50k warm-up
@@ -49,12 +55,15 @@ def synth_docs(spark, n: int):
     # near twins keep their OWN last token -> 7/8 tokens shared
     tail_key = (F.when(F.col("doc_id") % 50 == 1, F.col("doc_id") - 1)
                 .otherwise(F.col("doc_id")))
-    toks = [F.sha2(F.concat_ws("-", body_key.cast("string"),
-                               F.lit(f"t{j}"), F.lit("r6probe")), 256)
-            .substr(1, 32) for j in range(7)]
-    toks.append(F.sha2(F.concat_ws("-", tail_key.cast("string"),
-                                   F.lit("t7"), F.lit("r6probe")), 256)
-                .substr(1, 32))
+    def tok(key, j):
+        # letters only — normalize() strips digits (see module doc)
+        return F.translate(
+            F.sha2(F.concat_ws("-", key.cast("string"), F.lit(f"t{j}"),
+                               F.lit("r6probe")), 256).substr(1, 32),
+            "0123456789", "ghijklmnop")
+
+    toks = [tok(body_key, j) for j in range(7)]
+    toks.append(tok(tail_key, 7))
     return ids.select(
         F.concat(F.lit("repo-"), (F.col("doc_id") % 1024).cast("string")
                  ).alias("repo"),
