@@ -14,7 +14,7 @@ contract at a larger scale factor with FULL value comparison —
 
 Canonicalization matches tests/test_entry_contract.py (strict float
 repr — queries already round in both dialects).  Writes
-BENCH/validate_sf01_r5.json.  Run alone (no concurrent Spark);
+BENCH/validate_sf01_r6.json.  Run alone (no concurrent Spark);
 ~10 min at sf0.1.
 """
 
@@ -82,8 +82,19 @@ def main():
             sdf = q(spark, SF_DIR)
             cols = sdf.columns
             rows = [[r[c] for c in cols] for r in sdf.collect()]
-            if name in fg.GOLDENS:
-                pdf = fg.GOLDENS[name](docs, model, ppl)
+            # a query may SHARE another query's golden (s8's oracle is
+            # the flagship golden: stream output must equal batch) —
+            # resolve through the parquet stem in its oracle SQL, else
+            # the comparison would hit the FROZEN sf0.01 file at sf0.1
+            golden_key = name
+            if name not in fg.GOLDENS:
+                import re
+                m = re.search(r"driver_sf0\.01/(\w+)\.parquet",
+                              oracles.get(name, ""))
+                if m and m.group(1) in fg.GOLDENS:
+                    golden_key = m.group(1)
+            if golden_key in fg.GOLDENS:
+                pdf = fg.GOLDENS[golden_key](docs, model, ppl)
                 ocols = list(pdf.columns)
                 # numpy scalars -> Python (numpy>=2 repr would be
                 # "np.float64(0.5)" and break the float canon)
@@ -113,7 +124,7 @@ def main():
     out = {"sf_dir": SF_DIR, "cores": CPUS,
            "n_queries": len(results), "n_fail": n_fail,
            "queries": results}
-    with open(os.path.join(REPO, "BENCH", "validate_sf01_r5.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "validate_sf01_r6.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"n_queries": len(results), "n_fail": n_fail}))
 
