@@ -412,6 +412,7 @@ def _q_s8_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.read`` (honoring the ``_spark_metadata`` commit log) and
     must equal the batch flagship bit-for-bit — the oracle is the SAME
     frozen golden as ``pipeline_flagship``."""
+    import shutil
     import tempfile
 
     from yalder_spark.streaming.filter_stream import run_filter_stream
@@ -444,9 +445,16 @@ def _q_s8_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"the late shard's {n_late} exactly — incremental resume "
             f"regressed (reprocess or skip)")
 
-    return (spark.read.parquet(out)
-            .select("repo", "path", "detected_lang", "keep", "drop_reason",
-                    "pii_hits", "tox_hits", "content_sha256"))
+    # eagerly pull the slim 8-column result off the sink files, then
+    # remove the tmp tree: each invocation otherwise leaks TWO parquet
+    # copies of the corpus to /tmp (landing + filtered), and this query
+    # runs per driver round, per pytest run, and per validate_sf run
+    res = (spark.read.parquet(out)
+           .select("repo", "path", "detected_lang", "keep", "drop_reason",
+                   "pii_hits", "tox_hits", "content_sha256")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
 
 
 def _q_m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,9 +92,16 @@ def main() -> None:
     results = []
     for max_df in POINTS:
         env = dict(os.environ, D5X_POINT=str(max_df), PYTHONPATH=REPO)
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, capture_output=True, text=True,
-                              timeout=CHILD_TIMEOUT)
+        try:
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, capture_output=True, text=True,
+                                  timeout=CHILD_TIMEOUT)
+        except subprocess.TimeoutExpired:
+            # a hung child must not eat the earlier points
+            results.append({"max_df": max_df,
+                            "error": f"timeout>{CHILD_TIMEOUT}s"})
+            print(f"point {max_df} TIMED OUT", flush=True)
+            continue
         sys.stderr.write(proc.stderr[-2000:])
         line = next((ln for ln in proc.stdout.splitlines()
                      if ln.startswith("RESULT ")), None)

@@ -109,65 +109,60 @@ def child(n: int) -> None:
     neardup_clusters(wp).count()  # warms CC's localCheckpoint machinery
     warm.unpersist(); wc.unpersist()
 
-    stages, counts = {}, {}
+    def run_chain():
+        """One full chain pass; every cached frame is unpersisted at
+        the end (blocking) so a second pass re-does the real work —
+        the min-of-2 protocol CLAUDE.md mandates needs both passes to
+        be honest."""
+        stages, counts = {}, {}
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        counts[name] = fn()
-        stages[name] = round(time.monotonic() - t0, 2)
-        print(f"  n={n} {name}: {stages[name]}s -> {counts[name]}",
-              file=sys.stderr, flush=True)
+        def timed(name, fn):
+            t0 = time.monotonic()
+            counts[name] = fn()
+            stages[name] = round(time.monotonic() - t0, 2)
+            print(f"  n={n} {name}: {stages[name]}s -> {counts[name]}",
+                  file=sys.stderr, flush=True)
 
-    docs = synth_docs(spark, n).withColumn(
-        "doc_id", F.xxhash64("repo", "path", "commit")).cache()
-    timed("synth_cache", docs.count)
+        docs = synth_docs(spark, n).withColumn(
+            "doc_id", F.xxhash64("repo", "path", "commit")).cache()
+        timed("synth_cache", docs.count)
 
-    keep_exact = None
-
-    def s_exact():
-        nonlocal keep_exact
         keep_exact = (exact_dedup(docs, "content", "doc_id")
                       .select(F.col("keep_id").alias("doc_id")).cache())
-        return keep_exact.count()
-    timed("exact_dedup", s_exact)
-    uniq = docs.join(keep_exact, "doc_id", "left_semi")
+        timed("exact_dedup", keep_exact.count)
+        uniq = docs.join(keep_exact, "doc_id", "left_semi")
 
-    cand = None
-
-    def s_cand():
-        nonlocal cand
         cand = minhash_lsh_candidates(uniq, "content", "doc_id").cache()
-        return cand.count()
-    timed("minhash_lsh_candidates", s_cand)
+        timed("minhash_lsh_candidates", cand.count)
 
-    pairs = None
-
-    def s_verify():
-        nonlocal pairs
         pairs = (ngram_jaccard_pairs(uniq, cand, "content", "doc_id")
                  .filter(F.col("jaccard") >= THRESHOLD)
                  .select("id_a", "id_b").cache())
-        return pairs.count()
-    timed("jaccard_verify", s_verify)
+        timed("jaccard_verify", pairs.count)
 
-    drop = None
-
-    def s_cluster():
-        nonlocal drop
         drop = (neardup_clusters(pairs)
                 .filter(F.col("doc_id") != F.col("cluster_rep"))
                 .select("doc_id").cache())
-        return drop.count()
-    timed("cluster_cc", s_cluster)
+        timed("cluster_cc", drop.count)
 
-    timed("survivor_anti_join",
-          lambda: uniq.join(drop, "doc_id", "left_anti")
-          .select("doc_id").count())
+        timed("survivor_anti_join",
+              lambda: uniq.join(drop, "doc_id", "left_anti")
+              .select("doc_id").count())
+        for c in (docs, keep_exact, cand, pairs, drop):
+            c.unpersist(blocking=True)
+        return stages, counts
+
+    passes = [run_chain() for _ in range(2)]
+    if passes[0][1] != passes[1][1]:
+        raise RuntimeError(f"pass counts diverged: {passes[0][1]} vs "
+                           f"{passes[1][1]} — chain is nondeterministic?")
+    stages = {k: min(p[0][k] for p in passes) for k in passes[0][0]}
+    counts = passes[0][1]
 
     total = round(sum(v for k, v in stages.items() if k != "synth_cache"), 2)
     print("RESULT " + json.dumps({
         "n_docs": n, "stages_sec": stages, "counts": counts,
-        "chain_sec": total,
+        "chain_sec": total, "protocol": "min-of-2 per stage",
         "docs_per_sec": round(n / total, 1),
     }), flush=True)
     spark.stop()
@@ -177,9 +172,15 @@ def main() -> None:
     results = []
     for n in SIZES:
         env = dict(os.environ, DEDUP1M_POINT=str(n), PYTHONPATH=REPO)
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, capture_output=True, text=True,
-                              timeout=CHILD_TIMEOUT)
+        try:
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, capture_output=True, text=True,
+                                  timeout=CHILD_TIMEOUT)
+        except subprocess.TimeoutExpired:
+            # a hung child must not eat the earlier points
+            results.append({"n_docs": n, "error": f"timeout>{CHILD_TIMEOUT}s"})
+            print(f"point {n} TIMED OUT", flush=True)
+            continue
         sys.stderr.write(proc.stderr[-2000:])
         line = next((ln for ln in proc.stdout.splitlines()
                      if ln.startswith("RESULT ")), None)

@@ -55,7 +55,11 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--model", required=True)
     ap.add_argument("--ppl-model", required=True)
-    ap.add_argument("--buckets", type=int, default=256)
+    # default=None sentinel so an EXPLICIT "--buckets 256" is still
+    # detectable by the --streaming conflict check; resolved to 256 at
+    # the run_filter call
+    ap.add_argument("--buckets", type=int, default=None,
+                    help="batch manifest bucket count (default 256)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--input-format", default="parquet",
                     choices=["parquet", "iceberg"])
@@ -82,10 +86,10 @@ def main() -> None:
         ap.error("--checkpoint/--max-files-per-trigger require "
                  "--streaming (the batch job uses the bucket manifest, "
                  "not a streaming checkpoint)")
-    if args.streaming and args.buckets != ap.get_default("buckets"):
+    if args.streaming and args.buckets is not None:
         # symmetric with the check above (ADVICE r5 #3): streaming has
-        # no bucket manifest, so a non-default --buckets would be
-        # silently ignored — refuse instead
+        # no bucket manifest, so ANY explicit --buckets (even the
+        # batch default value) would be silently ignored — refuse
         ap.error("--buckets applies to the batch manifest job only; "
                  "remove it when using --streaming")
 
@@ -106,7 +110,9 @@ def main() -> None:
               f"batches={report['n_batches']}", file=sys.stderr)
     else:
         report = run_filter(spark, args.input, args.output, args.model,
-                            args.ppl_model, n_buckets=args.buckets,
+                            args.ppl_model,
+                            n_buckets=args.buckets if args.buckets is not None
+                            else 256,
                             input_format=args.input_format)
         n = sum(m["n_in"] for m in report["metrics"])
         keep = sum(m["n_keep"] for m in report["metrics"])

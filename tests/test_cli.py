@@ -107,6 +107,7 @@ def test_run_filter_cli_rejects_conflicting_flags(tmp_path):
         ["--checkpoint", str(tmp_path / "c")],
         ["--max-files-per-trigger", "2"],
         ["--streaming", "--buckets", "8"],
+        ["--streaming", "--buckets", "256"],  # explicit default too
         ["--streaming", "--input-format", "iceberg"],
     ):
         proc = subprocess.run(

@@ -282,9 +282,10 @@ def test_unverified_queries_sit_in_driver_prefix():
                 and row.get("hash_match") and not row.get("err")}
 
     latest = json.loads(files[-1].read_text())
+    latest_green = green_of(files[-1])
+    qnames = set(entrymod.queries())
     red = sorted(name for name in latest
-                 if name not in green_of(files[-1])
-                 and name in entrymod.queries())
+                 if name not in latest_green and name in qnames)
     assert not red, (
         f"queries CHECKED by the driver in {files[-1].name} but not "
         f"green: {red} — fix the query/oracle, don't rotate it away")

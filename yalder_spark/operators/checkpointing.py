@@ -38,8 +38,7 @@ def truncate_lineage(df: DataFrame, reliable: bool = False) -> DataFrame:
     instead of letting Spark raise from deep inside an iteration."""
     if not reliable:
         return df.localCheckpoint(eager=True)
-    sc = df.sparkSession.sparkContext
-    if not sc._jsc.sc().getCheckpointDir().isDefined():
+    if df.sparkSession.sparkContext.getCheckpointDir() is None:
         raise RuntimeError(
             "reliable_checkpoint requires a checkpoint directory: call "
             "spark.sparkContext.setCheckpointDir('<hdfs/s3/dir>') before "

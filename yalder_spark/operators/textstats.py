@@ -332,6 +332,13 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
            .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
                    "tfidf", "rk")
            .orderBy(id_col, "rk"))
+    if reliable_checkpoint and not materialize:
+        # the flag only has meaning at the materialization point; a
+        # silent no-op here would ship the exact executor-loss
+        # fragility the caller asked to remove
+        raise ValueError("reliable_checkpoint=True requires "
+                         "materialize=True (it selects HOW the result "
+                         "is materialized)")
     if materialize:
         # reliable_checkpoint: executor-loss-safe materialization on a
         # real cluster (localCheckpoint blocks die with an executor);
