@@ -140,10 +140,21 @@ def child(n: int) -> None:
                  .select("id_a", "id_b").cache())
         timed("jaccard_verify", pairs.count)
 
-        drop = (neardup_clusters(pairs)
-                .filter(F.col("doc_id") != F.col("cluster_rep"))
-                .select("doc_id").cache())
-        timed("cluster_cc", drop.count)
+        # CC is EAGER at construction (per-round localCheckpoint +
+        # convergence probes run inside neardup_clusters), so the
+        # build must sit INSIDE the timed closure — outside, the
+        # iterations run unattributed and the stage reads ~0.1 s
+        drop_box = []
+
+        def s_cluster():
+            d = (neardup_clusters(pairs)
+                 .filter(F.col("doc_id") != F.col("cluster_rep"))
+                 .select("doc_id").cache())
+            drop_box.append(d)
+            return d.count()
+
+        timed("cluster_cc", s_cluster)
+        drop = drop_box[-1]
 
         timed("survivor_anti_join",
               lambda: uniq.join(drop, "doc_id", "left_anti")

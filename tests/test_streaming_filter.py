@@ -113,6 +113,13 @@ def test_run_filter_stream_incremental(spark, tmp_path, model_artifact,
     batch1 = quality_filter(spark.read.parquet(inp),
                             model_artifact, ppl_model).toPandas()
     pd.testing.assert_frame_equal(_canon(got1), _canon(batch1))
+    # observe()-accumulated keep/drop/scrub metrics equal batch truth
+    m = rep1["metrics"]
+    assert m["n_rows"] == len(batch1)
+    assert m["n_keep"] == int(batch1["keep"].sum())
+    assert m["n_drop"] == int((~batch1["keep"]).sum())
+    assert m["pii_hits"] == int(batch1["pii_hits"].sum())
+    assert m["tox_hits"] == int(batch1["tox_hits"].sum())
 
     # a late shard lands; a fresh invocation drains exactly it
     spark.createDataFrame(shards[-1]).coalesce(1) \

@@ -35,7 +35,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
 from ..operators.filter import FilterConfig, quality_filter
@@ -58,6 +58,7 @@ class _ProgressCounter(StreamingQueryListener):
 
     def __init__(self):
         self.batches: dict[str, list[int]] = {}
+        self.observed: dict[str, list[dict]] = {}
         self.terminated: set[str] = set()
 
     def onQueryStarted(self, event):
@@ -68,6 +69,9 @@ class _ProgressCounter(StreamingQueryListener):
         # list.append under the GIL is atomic enough for the single
         # delivery thread + single reader here
         self.batches.setdefault(str(p.id), []).append(int(p.numInputRows))
+        om = p.observedMetrics.get("filter_metrics")
+        if om is not None:
+            self.observed.setdefault(str(p.id), []).append(om.asDict())
 
     def onQueryIdle(self, event):
         pass
@@ -156,6 +160,18 @@ def run_filter_stream(spark: SparkSession, input_path: str,
     src: DataFrame = reader.parquet(input_path)
 
     filtered = quality_filter(src, model, ppl_model, config)
+    # per-microbatch keep/drop/scrub metrics via observe(): computed
+    # JVM-side inside the existing stage (no extra pass/shuffle),
+    # delivered through the progress events the counter already
+    # listens to — the streaming counterpart of the batch manifest's
+    # per-bucket metrics (north rule: keep/drop/scrub metrics ride
+    # the checkpointed job)
+    filtered = filtered.observe(
+        "filter_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum("pii_hits").alias("pii_hits"),
+        F.sum("tox_hits").alias("tox_hits"))
 
     writer = (filtered.writeStream.format("parquet")
               .option("path", output_path)
@@ -186,8 +202,12 @@ def run_filter_stream(spark: SparkSession, input_path: str,
             # a possibly-clipped count as exact
             filled = [int(p["numInputRows"]) for p in q.recentProgress
                       if int(p["numInputRows"]) > 0]
+        obs = counter.observed.get(qid, []) if exact else []
     finally:
         spark.streams.removeListener(counter)
+    metrics = {k: sum(int(o[k] or 0) for o in obs)
+               for k in ("n_rows", "n_keep", "pii_hits", "tox_hits")}
+    metrics["n_drop"] = metrics["n_rows"] - metrics["n_keep"]
     return {
         "query_name": query_name,
         "input": input_path,
@@ -196,4 +216,7 @@ def run_filter_stream(spark: SparkSession, input_path: str,
         "n_input_rows": sum(filled),
         "n_batches": len(filled),
         "count_exact": exact,
+        # keep/drop/scrub metrics for THIS drain, observe()-accumulated
+        # (zeros if the terminated event was missed — count_exact says)
+        "metrics": metrics,
     }
