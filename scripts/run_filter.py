@@ -106,8 +106,11 @@ def main() -> None:
             spark, args.input, args.output, args.model, args.ppl_model,
             checkpoint=args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger)
+        m = report["metrics"]
         print(f"stream drain: rows={report['n_input_rows']} "
-              f"batches={report['n_batches']}", file=sys.stderr)
+              f"batches={report['n_batches']} kept={m['n_keep']} "
+              f"dropped={m['n_drop']} pii={m['pii_hits']} "
+              f"tox={m['tox_hits']}", file=sys.stderr)
     else:
         report = run_filter(spark, args.input, args.output, args.model,
                             args.ppl_model,
