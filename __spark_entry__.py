@@ -422,39 +422,43 @@ def _q_s8_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     late_pred = F.pmod(F.xxhash64("path"), F.lit(2)) == 1
 
     tmp = tempfile.mkdtemp(prefix="s8_ingest_")
-    landing, out = f"{tmp}/landing", f"{tmp}/filtered"
-    src.filter(~late_pred).coalesce(2).write.parquet(landing)
-    n_total = src.count()
-    n_late = src.filter(late_pred).count()
+    # try/finally from mkdtemp onward (ADVICE r6 #2): a failed drain
+    # assertion or a Spark error mid-drain must not leak TWO parquet
+    # copies of the corpus to /tmp — this query runs per driver round,
+    # per pytest run, and per validate_sf run
+    try:
+        landing, out = f"{tmp}/landing", f"{tmp}/filtered"
+        src.filter(~late_pred).coalesce(2).write.parquet(landing)
+        n_total = src.count()
+        n_late = src.filter(late_pred).count()
 
-    rep1 = run_filter_stream(spark, landing, out, model, ppl,
-                             query_name="s8_filter_stream")
-    if rep1["n_input_rows"] != n_total - n_late:
-        raise RuntimeError(
-            f"s8 drain 1 processed {rep1['n_input_rows']} rows, expected "
-            f"{n_total - n_late} (shard A only)")
+        rep1 = run_filter_stream(spark, landing, out, model, ppl,
+                                 query_name="s8_filter_stream")
+        if rep1["n_input_rows"] != n_total - n_late:
+            raise RuntimeError(
+                f"s8 drain 1 processed {rep1['n_input_rows']} rows, expected "
+                f"{n_total - n_late} (shard A only)")
 
-    # the late shard lands; a FRESH invocation on the same checkpoint
-    # must drain exactly it (exactly-once across invocations)
-    src.filter(late_pred).coalesce(2).write.mode("append").parquet(landing)
-    rep2 = run_filter_stream(spark, landing, out, model, ppl,
-                             query_name="s8_filter_stream")
-    if rep2["n_input_rows"] != n_late:
-        raise RuntimeError(
-            f"s8 drain 2 processed {rep2['n_input_rows']} rows, expected "
-            f"the late shard's {n_late} exactly — incremental resume "
-            f"regressed (reprocess or skip)")
+        # the late shard lands; a FRESH invocation on the same checkpoint
+        # must drain exactly it (exactly-once across invocations)
+        src.filter(late_pred).coalesce(2).write.mode("append").parquet(landing)
+        rep2 = run_filter_stream(spark, landing, out, model, ppl,
+                                 query_name="s8_filter_stream")
+        if rep2["n_input_rows"] != n_late:
+            raise RuntimeError(
+                f"s8 drain 2 processed {rep2['n_input_rows']} rows, expected "
+                f"the late shard's {n_late} exactly — incremental resume "
+                f"regressed (reprocess or skip)")
 
-    # eagerly pull the slim 8-column result off the sink files, then
-    # remove the tmp tree: each invocation otherwise leaks TWO parquet
-    # copies of the corpus to /tmp (landing + filtered), and this query
-    # runs per driver round, per pytest run, and per validate_sf run
-    res = (spark.read.parquet(out)
-           .select("repo", "path", "detected_lang", "keep", "drop_reason",
-                   "pii_hits", "tox_hits", "content_sha256")
-           .localCheckpoint(eager=True))
-    shutil.rmtree(tmp, ignore_errors=True)
-    return res
+        # eagerly pull the slim 8-column result off the sink files (the
+        # localCheckpoint materializes it BEFORE the tmp tree goes away)
+        return (spark.read.parquet(out)
+                .select("repo", "path", "detected_lang", "keep",
+                        "drop_reason", "pii_hits", "tox_hits",
+                        "content_sha256")
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _q_m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

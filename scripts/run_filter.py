@@ -107,10 +107,20 @@ def main() -> None:
             checkpoint=args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger)
         m = report["metrics"]
-        print(f"stream drain: rows={report['n_input_rows']} "
-              f"batches={report['n_batches']} kept={m['n_keep']} "
-              f"dropped={m['n_drop']} pii={m['pii_hits']} "
-              f"tox={m['tox_hits']}", file=sys.stderr)
+        if report["count_exact"]:
+            print(f"stream drain: rows={report['n_input_rows']} "
+                  f"batches={report['n_batches']} kept={m['n_keep']} "
+                  f"dropped={m['n_drop']} pii={m['pii_hits']} "
+                  f"tox={m['tox_hits']}", file=sys.stderr)
+        else:
+            # terminated event was missed: metrics are all-zero
+            # placeholders, not measurements — don't print kept=0
+            # dropped=0 as if real (ADVICE r6 #3)
+            print(f"stream drain: rows={report['n_input_rows']} "
+                  f"batches={report['n_batches']} (INEXACT — progress "
+                  "listener missed the terminated event; keep/drop/"
+                  "scrub metrics unavailable this drain)",
+                  file=sys.stderr)
     else:
         report = run_filter(spark, args.input, args.output, args.model,
                             args.ppl_model,

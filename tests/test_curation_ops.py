@@ -304,15 +304,18 @@ def test_decontaminate_broadcasts_eval_side(spark):
 
 
 def test_cc_raises_on_non_convergence(spark):
-    from yalder_spark.operators.dedup import neardup_clusters
+    from yalder_spark.operators.dedup import ConvergenceError, neardup_clusters
 
     # a 6-node path needs ~5 propagation rounds; max_iter=2 must fail
     # loudly rather than return a silently partial clustering (forced
     # label path — the round-5 "auto" default would escalate to star
-    # and converge, which is exactly its job)
+    # and converge, which is exactly its job).  The raise is the TYPED
+    # ConvergenceError (VERDICT r6 #7): the auto escalation dispatches
+    # on the type, never on a "converge" substring, so an unrelated
+    # RuntimeError can't masquerade as graph diameter.
     pairs = spark.createDataFrame([(i, i + 1) for i in range(6)],
                                   "id_a long, id_b long")
-    with pytest.raises(RuntimeError, match="converge"):
+    with pytest.raises(ConvergenceError, match="converge"):
         neardup_clusters(pairs, max_iter=2, algorithm="label")
     # ... and the auto default converges on the same input
     got = {r.doc_id: r.cluster_rep

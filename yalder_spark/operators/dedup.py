@@ -22,6 +22,16 @@ from pyspark.sql import DataFrame, functions as F
 from yalder_spark.functions.ngram import batch_ngram_hashes
 from yalder_spark.operators.checkpointing import truncate_lineage
 
+class ConvergenceError(RuntimeError):
+    """An iterative clustering pass ran out of rounds (d6 label
+    propagation / large-star-small-star).  A dedicated type (VERDICT r6
+    #7) so the auto-dispatch escalation can never be triggered by an
+    unrelated RuntimeError that merely contains the word "converge" —
+    stringly-typed matching is how a config error masquerades as graph
+    diameter.  Subclasses RuntimeError, so existing callers catching
+    RuntimeError keep working."""
+
+
 MERSENNE = (1 << 61) - 1
 N_PERM = 64
 N_BANDS = 16
@@ -607,10 +617,10 @@ def neardup_clusters(pairs: DataFrame, max_iter: int | None = None,
             return neardup_clusters(pairs, max_iter=label_budget,
                                     algorithm="label",
                                     reliable_checkpoint=reliable_checkpoint)
-        except RuntimeError as e:
-            if "converge" not in str(e):
-                raise  # config errors must not masquerade as diameter
-
+        except ConvergenceError:
+            # typed signal (ConvergenceError): ONLY a genuine
+            # out-of-rounds non-convergence escalates to star; config
+            # errors and unrelated RuntimeErrors propagate untouched
             return (neardup_clusters_star(
                         pairs, reliable_checkpoint=reliable_checkpoint)
                     if max_iter is None
@@ -658,7 +668,7 @@ def neardup_clusters(pairs: DataFrame, max_iter: int | None = None,
         # a silently partial clustering would under-drop near-dups;
         # fail loudly — the caller raises max_iter (or switches to
         # large-star/small-star for adversarial-diameter graphs)
-        raise RuntimeError(
+        raise ConvergenceError(
             f"neardup_clusters did not converge within {max_iter} "
             f"iterations ({n_changed} labels still changing)")
     return labels.select(F.col("id").alias("doc_id"),
@@ -738,7 +748,7 @@ def neardup_clusters_star(pairs: DataFrame, max_iter: int = 30,
             break
         sig = new_sig
     else:
-        raise RuntimeError(
+        raise ConvergenceError(
             f"neardup_clusters_star did not converge within {max_iter} "
             "iterations")
     # The signature equality above is probabilistic (a count+hash-sum

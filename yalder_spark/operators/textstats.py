@@ -311,6 +311,17 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
     back to the scan."""
     from pyspark.sql import Window as W
 
+    if reliable_checkpoint and not materialize:
+        # argument conflict — detectable from the arguments alone, so
+        # fail BEFORE tf is persisted or the plan is built (ADVICE r6
+        # #4: validating after persist() left a stray cache
+        # registration on the error path).  A silent no-op here would
+        # ship the exact executor-loss fragility the caller asked to
+        # remove.
+        raise ValueError("reliable_checkpoint=True requires "
+                         "materialize=True (it selects HOW the result "
+                         "is materialized)")
+
     toks, _ = ws_tokens(text_col)
     words = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
              .select(F.col(id_col), F.explode(toks).alias("term")))
@@ -332,13 +343,6 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
            .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
                    "tfidf", "rk")
            .orderBy(id_col, "rk"))
-    if reliable_checkpoint and not materialize:
-        # the flag only has meaning at the materialization point; a
-        # silent no-op here would ship the exact executor-loss
-        # fragility the caller asked to remove
-        raise ValueError("reliable_checkpoint=True requires "
-                         "materialize=True (it selects HOW the result "
-                         "is materialized)")
     if materialize:
         # reliable_checkpoint: executor-loss-safe materialization on a
         # real cluster (localCheckpoint blocks die with an executor);

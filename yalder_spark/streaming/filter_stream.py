@@ -52,9 +52,17 @@ class _ProgressCounter(StreamingQueryListener):
     summing it under-reports drains with more triggers than the bound.
     A listener sees EVERY progress event, making the report exact for
     any drain length.  Events arrive on a separate delivery thread, so
-    everything is buffered per query id and read only after the
+    everything is buffered per RUN id and read only after the
     query's terminated event (or a deadline) — no filtering races with
-    the caller learning the query id post-``start()``."""
+    the caller learning the run id post-``start()``.
+
+    Keyed by ``runId``, NOT ``id`` (ADVICE r6 #1): the query id is
+    checkpoint-stable across invocations, so a PRIOR drain on the same
+    checkpoint delivering its terminated event late (after its own
+    30 s ``wait_terminated`` gave up) would satisfy a NEW drain's wait
+    immediately and let in-flight progress events go uncounted while
+    the report still claimed ``count_exact=True``.  ``runId`` is
+    unique per invocation, so stale events land in dead buckets."""
 
     def __init__(self):
         self.batches: dict[str, list[int]] = {}
@@ -68,24 +76,24 @@ class _ProgressCounter(StreamingQueryListener):
         p = event.progress
         # list.append under the GIL is atomic enough for the single
         # delivery thread + single reader here
-        self.batches.setdefault(str(p.id), []).append(int(p.numInputRows))
+        self.batches.setdefault(str(p.runId), []).append(int(p.numInputRows))
         om = p.observedMetrics.get("filter_metrics")
         if om is not None:
-            self.observed.setdefault(str(p.id), []).append(om.asDict())
+            self.observed.setdefault(str(p.runId), []).append(om.asDict())
 
     def onQueryIdle(self, event):
         pass
 
     def onQueryTerminated(self, event):
-        self.terminated.add(str(event.id))
+        self.terminated.add(str(event.runId))
 
-    def wait_terminated(self, query_id: str, timeout_sec: float = 30.0) -> bool:
+    def wait_terminated(self, run_id: str, timeout_sec: float = 30.0) -> bool:
         deadline = time.monotonic() + timeout_sec
         while time.monotonic() < deadline:
-            if query_id in self.terminated:
+            if run_id in self.terminated:
                 return True
             time.sleep(0.05)
-        return query_id in self.terminated
+        return run_id in self.terminated
 
 
 def _one_data_file(spark: SparkSession, path: str) -> str | None:
@@ -192,17 +200,17 @@ def run_filter_stream(spark: SparkSession, input_path: str,
             q.awaitTermination()
         finally:
             q.stop()
-        qid = str(q.id)
-        exact = counter.wait_terminated(qid)
+        rid = str(q.runId)
+        exact = counter.wait_terminated(rid)
         if exact:
-            filled = [n for n in counter.batches.get(qid, []) if n > 0]
+            filled = [n for n in counter.batches.get(rid, []) if n > 0]
         else:
             # terminated event never arrived (shouldn't happen) — fall
             # back to the bounded buffer and SAY SO rather than report
             # a possibly-clipped count as exact
             filled = [int(p["numInputRows"]) for p in q.recentProgress
                       if int(p["numInputRows"]) > 0]
-        obs = counter.observed.get(qid, []) if exact else []
+        obs = counter.observed.get(rid, []) if exact else []
     finally:
         spark.streams.removeListener(counter)
     metrics = {k: sum(int(o[k] or 0) for o in obs)
