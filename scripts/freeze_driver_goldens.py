@@ -127,6 +127,71 @@ def g_pipeline_flagship(docs, model, ppl) -> pd.DataFrame:
         "pii_hits", "tox_hits", "content_sha256"])
 
 
+def g_c1_curate_corpus(docs, model, ppl) -> pd.DataFrame:
+    """Pure composition of the curate_corpus chain over the c1 query's
+    planted-duplicate corpus (see __spark_entry__._q_c1_curate_corpus):
+    exact dedup (min-xxhash64 per distinct content) -> MinHash+LSH
+    verified pairs at 0.85 -> union-find closure, keep the component
+    min -> per-row quality filter, keep rows only."""
+    import hashlib as _hl
+
+    def ident(prefix: str, source: str, did: int) -> tuple[str, str, str]:
+        path = f"{prefix}/{did}"
+        salt = source if prefix == "doc" else prefix
+        commit = _hl.sha256(f"{salt}@{did}".encode()).hexdigest()[:40]
+        return source, path, commit
+
+    rows = []  # (doc_id, repo, path, content)
+    for did, text, source in zip(docs["doc_id"], docs["text"], docs["source"]):
+        did = int(did)
+        for prefix, content in [("doc", text)] + \
+                ([("dupx", text)] if did % 17 == 0 else []) + \
+                ([("nearx", text + " nearly dup")] if did % 23 == 0 else []):
+            repo, path, commit = ident(prefix, source, did)
+            rows.append((P.spark_xxhash64_strs(repo, path, commit),
+                         repo, path, content))
+
+    # exact dedup: keep the min doc_id per distinct content
+    best: dict[str, int] = {}
+    for i, _r, _p, c in rows:
+        if c not in best or i < best[c]:
+            best[c] = i
+    uniq = [r for r in rows if r[0] == best[r[3]]]
+
+    # near-dup pairs at the chain's 0.85 threshold, then union-find
+    pairs = P.minhash_dedup_pure([(i, c) for i, _r, _p, c in uniq],
+                                 threshold=0.85)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b, _j in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for i, _r, _p, _c in uniq:
+        root = find(i)
+        comp_min[root] = min(comp_min.get(root, i), i)
+    survivors = [r for r in uniq if comp_min[find(r[0])] == r[0]]
+
+    out = []
+    for _i, repo, path, content in survivors:
+        r = filter_one({"repo": repo, "path": path, "content": content},
+                       model, ppl)
+        if r["keep"]:
+            out.append((repo, path, r["detected_lang"], r["pii_hits"],
+                        r["tox_hits"], r["content_sha256"]))
+    out.sort()
+    return pd.DataFrame(out, columns=["repo", "path", "detected_lang",
+                                      "pii_hits", "tox_hits",
+                                      "content_sha256"])
+
+
 def g_d2_minhash(docs, model, ppl) -> pd.DataFrame:
     pairs = P.minhash_dedup_pure(
         list(zip(docs["doc_id"].astype(int), docs["text"])), threshold=0.5)
@@ -233,6 +298,7 @@ def g_m3_audio_features(docs, model, ppl) -> pd.DataFrame:
 
 
 GOLDENS = {
+    "c1_curate_corpus": g_c1_curate_corpus,
     "h4_h8_detect": g_h4_h8_detect,
     "q1_perplexity": g_q1_perplexity,
     "t2_ngram_counts": g_t2_ngram_counts,

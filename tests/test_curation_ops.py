@@ -667,3 +667,29 @@ def test_tfidf_topk_known_values(spark):
         (2, "banana", 1, common, 2),
         (3, "durian", 1, rare, 1),
     ], got
+
+
+def test_pure_xxhash64_matches_spark(spark):
+    """The c1 golden's doc identity is pure_ops.spark_xxhash64_strs —
+    it must equal F.xxhash64 (seed 42, per-column chaining) EXACTLY on
+    real driver data, or the golden replicates the wrong survivor of
+    every planted duplicate pair."""
+    from yalder_spark.oracle.pure_ops import spark_xxhash64_strs
+
+    d = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+         .limit(64)
+         .select(F.col("source").alias("repo"),
+                 F.concat(F.lit("doc/"), F.col("doc_id").cast("string"))
+                 .alias("path"),
+                 F.sha2(F.col("text"), 256).substr(1, 40).alias("commit")))
+    rows = d.collect()
+    got = [r[0] for r in d.select(F.xxhash64("repo", "path", "commit"))
+           .collect()]
+    want = [spark_xxhash64_strs(r.repo, r.path, r.commit) for r in rows]
+    assert got == want
+    # single column + unicode + empty string + >32-byte payloads
+    vals = ["", "a", "ü東京🎉", "x" * 7, "y" * 8, "z" * 31, "w" * 32,
+            "long payload " * 17]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got1 = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    assert got1 == [spark_xxhash64_strs(v) for v in vals]

@@ -367,3 +367,90 @@ def image_mean_rgb_pure(payload: bytes, w: int, h: int) -> list[float]:
     img = _fake_decode(payload, w, h)
     n = img.shape[0] * img.shape[1]
     return [float(int(img[:, :, c].sum(dtype=np.int64)) / n) for c in range(3)]
+
+
+# --- Spark-compatible xxhash64 (pure) ---------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xrotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xround(acc: int, inp: int) -> int:
+    return (_xrotl((acc + inp * _XXP2) & _M64, 31) * _XXP1) & _M64
+
+
+def _xmerge(acc: int, val: int) -> int:
+    return (((acc ^ _xround(0, val)) * _XXP1) + _XXP4) & _M64
+
+
+def xxh64(data: bytes, seed: int) -> int:
+    """Reference XXH64 (unsigned).  Spark's catalyst XXH64 is the same
+    spec, so ``xxh64(utf8_bytes, seed)`` equals ``F.xxhash64`` on one
+    string column with that seed (parity-pinned in
+    tests/test_curation_ops.py on real driver data)."""
+    import struct
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i <= n - 32:
+            a, b, c, d = struct.unpack_from("<QQQQ", data, i)
+            v1 = _xround(v1, a)
+            v2 = _xround(v2, b)
+            v3 = _xround(v3, c)
+            v4 = _xround(v4, d)
+            i += 32
+        h = (_xrotl(v1, 1) + _xrotl(v2, 7)
+             + _xrotl(v3, 12) + _xrotl(v4, 18)) & _M64
+        h = _xmerge(h, v1)
+        h = _xmerge(h, v2)
+        h = _xmerge(h, v3)
+        h = _xmerge(h, v4)
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h ^= _xround(0, k)
+        h = (_xrotl(h, 27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i <= n - 4:
+        (k,) = struct.unpack_from("<I", data, i)
+        h ^= (k * _XXP1) & _M64
+        h = (_xrotl(h, 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_xrotl(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64_strs(*cols: str, seed: int = 42) -> int:
+    """``F.xxhash64(c1, c2, ...)`` over non-null STRING columns: Spark
+    chains the running hash as the seed of the next column's XXH64 over
+    its UTF-8 bytes, starting from seed 42, and returns a SIGNED i64.
+    This is the doc-identity hash of the curation chain
+    (pipeline._dedup_survivors / decontaminate_corpus), so the c1
+    golden can replicate survivor selection exactly."""
+    h = seed
+    for c in cols:
+        h = xxh64(c.encode("utf-8"), h)
+    return h - (1 << 64) if h >= (1 << 63) else h
