@@ -26,7 +26,7 @@ Each size runs in a fresh subprocess JVM (cold-start isolation; an OOM
 at 1M must not eat the smaller points) with an untimed 50k warm-up
 pass.  Run alone — no concurrent Spark/pytest.
 
-Writes BENCH/round6_dedup_1M.json.
+Writes BENCH/$DEDUP1M_OUT (default round7_dedup_1M.json).
 """
 
 import json
@@ -227,7 +227,9 @@ def main() -> None:
                  "exponent ~1 = linear wall growth, >1.3 = superlinear "
                  "suspect"),
     }
-    with open(os.path.join(REPO, "BENCH", "round6_dedup_1M.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH",
+                           os.environ.get("DEDUP1M_OUT",
+                                          "round7_dedup_1M.json")), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 

@@ -1,0 +1,97 @@
+"""Decompose the `minhash_lsh_candidates` stage at 1M docs (round-7
+VERDICT #2 follow-through).
+
+Round 6 read the whole stage (46.9 s of a 60.7 s chain at 1M docs) as
+"the signature UDF".  The round-7 kernel work made the UDF itself 2.1x
+faster (BENCH/round7_minhash.json) yet the stage only moved ~6% — so
+the stage must be dominated by the LSH candidate MACHINERY (band
+explode -> shuffle -> per-band self-join), not the Python kernel.
+This probe separates the three nested prefixes on the same corpus:
+
+  sig_only    = minhash_signatures(df).count()     (map-only UDF)
+  bands_only  = lsh_bands(df).count()              (UDF + band fold,
+                                                    still map-only)
+  candidates  = minhash_lsh_candidates(df).count() (+ shuffle + join)
+
+Same synthetic corpus as measure_dedup_1M (fresh JVM, untimed 50k
+warm-up, min-of-2).  Writes BENCH/round7_minhash_stage.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N = 1_000_000
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from scripts.measure_dedup_1M import synth_docs
+    from yalder_spark.operators.dedup import (lsh_bands,
+                                              minhash_lsh_candidates,
+                                              minhash_signatures)
+
+    spark = (SparkSession.builder.appName("minhash-stage")
+             .master(f"local[{CPUS}]")
+             .config("spark.driver.memory", "48g")
+             .config("spark.sql.shuffle.partitions", str(CPUS * 2))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+
+    warm = synth_docs(spark, 50_000).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit"))
+    minhash_lsh_candidates(warm, "content", "doc_id").count()
+
+    docs = synth_docs(spark, N).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")).cache()
+    docs.count()
+
+    out = {}
+    for name, fn in (
+        ("sig_only", lambda: minhash_signatures(docs, "content",
+                                                "doc_id").count()),
+        ("bands_only", lambda: lsh_bands(docs, "content", "doc_id").count()),
+        ("candidates", lambda: minhash_lsh_candidates(docs, "content",
+                                                      "doc_id").count()),
+    ):
+        times = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            n = fn()
+            times.append(round(time.monotonic() - t0, 2))
+        out[name] = {"sec": min(times), "attempts": times, "rows": n}
+        print(name, out[name], flush=True)
+
+    res = {
+        "n_docs": N, "cores": CPUS, "protocol": "min-of-2, warm JVM",
+        "stages": out,
+        "machinery_sec": round(out["candidates"]["sec"]
+                               - out["bands_only"]["sec"], 2),
+        "note": ("bands_only - sig_only = band-fold overhead; "
+                 "candidates - bands_only = shuffle + per-band self-join "
+                 "(the LSH machinery). The Python kernel inside sig_only "
+                 "was made 2.1x faster in round 7 "
+                 "(BENCH/round7_minhash.json)."),
+    }
+    # default name is _raw: BENCH/round7_minhash_stage.json is the
+    # hand-curated A/B record across plan variants - don't clobber it
+    with open(os.path.join(REPO, "BENCH",
+                           os.environ.get("MINHASH_STAGE_OUT",
+                                          "round7_minhash_stage_raw.json")),
+              "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

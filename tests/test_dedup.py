@@ -244,3 +244,77 @@ def test_minhash_candidates_skew_guard_caps_degenerate_bucket(spark):
     n_capped = minhash_lsh_candidates(df, max_bucket=10).count()
     assert n_uncapped >= 30 * 29 // 2  # the blowup the guard exists for
     assert n_capped < 30               # degenerate bucket dropped
+
+
+def test_mod_mersenne_bitwise_identity():
+    """_mod_mersenne must equal numpy int64 floor-mod on ANY sign —
+    wrapped a*h+b products are routinely negative.  Adversarial sweep
+    incl. INT64_MIN/MAX and every boundary around +-MERSENNE."""
+    import numpy as np
+    from yalder_spark.operators.dedup import MERSENNE, _mod_mersenne
+
+    rng = np.random.RandomState(7)
+    adv = np.concatenate([
+        rng.randint(-2**63, 2**63 - 1, size=100_000, dtype=np.int64),
+        np.array([0, 1, -1, MERSENNE, MERSENNE - 1, MERSENNE + 1,
+                  -MERSENNE, -MERSENNE - 1, 2**62, -2**62, 2**61, -2**61,
+                  np.iinfo(np.int64).max, np.iinfo(np.int64).min,
+                  np.iinfo(np.int64).min + 1], dtype=np.int64),
+    ])
+    got = _mod_mersenne(adv.copy(), np.empty(len(adv), np.int64))
+    assert np.array_equal(adv % MERSENNE, got)
+
+
+def test_minhash_batch_paths_bitwise_identical():
+    """The distinct-gather fast path and the direct fallback must
+    produce bitwise-identical signatures.  A batch of one-shingle docs
+    with all-distinct values (ratio 1.0) takes the fallback; the same
+    values padded with a shared-text block (ratio << 0.5) takes the
+    gather path; per-doc signatures must agree between the runs."""
+    import numpy as np
+    import pandas as pd
+    from yalder_spark.operators.dedup import _minhash_batch
+
+    # 64 docs of one distinct 4-gram each -> unique ratio 1.0 (fallback)
+    alphabet = "abcdefgh"
+    singles = ["".join((alphabet[(i >> s) & 7] for s in (9, 6, 3, 0)))
+               for i in range(0, 512, 8)]
+    assert len(set(singles)) == len(singles)
+    sig_direct = _minhash_batch(pd.Series(singles, dtype="object"))
+
+    # same docs + 64 copies of one long shared doc -> ratio well under
+    # 0.5 (gather path); the singles' rows must be unchanged
+    shared = " ".join("yalder spark shares these shingles" for _ in range(40))
+    mixed = singles + [shared] * 64
+    sig_mixed = _minhash_batch(pd.Series(mixed, dtype="object"))
+    assert np.array_equal(sig_direct, sig_mixed[: len(singles)])
+
+
+def test_lsh_candidates_match_selfjoin_formulation(spark, docs_with_dups):
+    """Round-7 plan rewrite: the one-shuffle collect_list + pair-explode
+    candidate generator must produce EXACTLY the pair set of the
+    original (band, band_hash) self-join formulation, capped and
+    uncapped."""
+    from yalder_spark.operators.dedup import lsh_bands, minhash_lsh_candidates
+
+    def selfjoin_reference(df, max_bucket):
+        b = lsh_bands(df)
+        if max_bucket:
+            big = (b.groupBy("band", "band_hash").count()
+                   .filter(F.col("count") > max_bucket)
+                   .select("band", "band_hash"))
+            b = b.join(F.broadcast(big), ["band", "band_hash"], "left_anti")
+        left = b.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+        right = b.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+        return (left.join(right, ["band", "band_hash"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+
+    for cap in (0, 3, 1024):
+        got = {(r.id_a, r.id_b)
+               for r in minhash_lsh_candidates(docs_with_dups,
+                                               max_bucket=cap).collect()}
+        ref = {(r.id_a, r.id_b)
+               for r in selfjoin_reference(docs_with_dups, cap).collect()}
+        assert got == ref, f"pair sets diverge at max_bucket={cap}"
+        assert got  # non-vacuous: planted dups guarantee candidates

@@ -106,3 +106,79 @@ def test_detect_langs_text_only_input(spark, model_artifact):
     assert len(rows) == 2
     assert "text" not in out.columns
     assert {"detected_lang", "lang_score"} <= set(out.columns)
+
+
+# ---------------------------------------------------------------------------
+# Wide-language gate (round-7 VERDICT #3): 10 languages over 5 script
+# families incl. a zh-Hans/zh-Hant script-variant pair (50%-shared
+# character pools + 10% cross-borrowing) and ja text carrying
+# zh-Hans-pool kanji.  Measured at freeze time (2026-08-18): held-out
+# accuracy 0.9849 on 597 docs; confusions are exactly the honest ones
+# (de<->fr, en<->es, zh-Hans<->zh-Hant one each way).  Frozen floor
+# 0.97; script-pair floor 0.90.
+
+
+@pytest.fixture(scope="module")
+def wide_corpus_pdf():
+    from yalder_spark.fixtures.gen import gen_corpus_wide
+
+    return gen_corpus_wide(n_per_lang=600, seed=43)
+
+
+@pytest.fixture(scope="module")
+def wide_model_artifact(wide_corpus_pdf):
+    from yalder_spark.operators.model import LanguageModel
+    from yalder_spark.oracle.pure_detector import train_oracle_model
+
+    train = wide_corpus_pdf[wide_corpus_pdf["split"] == "train"]
+    m = train_oracle_model(list(zip(train["lang"], train["text"])))
+    rows = [(lang, h, lp) for lang, per in m.items() for h, lp in per.items()]
+    pdf = pd.DataFrame(rows, columns=["lang", "ngram_hash", "log_prob"])
+    return LanguageModel.from_pandas(pdf)
+
+
+def test_langid_wide_accuracy_gate(wide_corpus_pdf, wide_model_artifact):
+    """BASELINE.md wide-langid row: >= 0.97 held-out over 10 languages /
+    5 script families (measured 0.9849 at freeze)."""
+    test_pdf = (wide_corpus_pdf[wide_corpus_pdf["split"] == "test"]
+                .reset_index(drop=True))
+    got = score_batch(test_pdf["text"], wide_model_artifact)
+    acc = (got["detected_lang"].to_numpy() == test_pdf["lang"].to_numpy()).mean()
+    assert acc >= 0.97, f"wide langid accuracy {acc:.4f} below frozen floor"
+
+
+def test_langid_script_variant_discrimination(wide_corpus_pdf,
+                                              wide_model_artifact):
+    """H10's hardest case: zh-Hans vs zh-Hant share 50% of their
+    character pool and borrow 10% of words across — the detector must
+    still pick the right VARIANT >= 90% of the time within the pair
+    (measured ~0.983 each way at freeze), and every zh-* doc must land
+    on SOME zh variant (script detection itself never leaks to a
+    non-Han language)."""
+    test_pdf = (wide_corpus_pdf[wide_corpus_pdf["split"] == "test"]
+                .reset_index(drop=True))
+    zh = test_pdf[test_pdf["lang"].str.startswith("zh-")].reset_index(drop=True)
+    assert len(zh) > 50  # the pair is actually represented
+    got = score_batch(zh["text"], wide_model_artifact)
+    assert got["detected_lang"].str.startswith("zh-").all()
+    for variant in ("zh-Hans", "zh-Hant"):
+        mask = (zh["lang"] == variant).to_numpy()
+        acc = (got["detected_lang"].to_numpy()[mask] == variant).mean()
+        assert acc >= 0.90, f"{variant} discrimination {acc:.4f} < 0.90"
+
+
+def test_langid_wide_labels_are_canonical_h10_forms():
+    """The wide corpus trains on canonical H10 tags: normalize_lang must
+    be a fixed point on every label, and the messy wire forms
+    (zh-hans-cn, ZH_HANT, jpn, rus) must land on them."""
+    from yalder_spark.fixtures.gen import WIDE_LANGS
+    from yalder_spark.functions.langcodes import normalize_lang
+
+    for lang in WIDE_LANGS:
+        assert normalize_lang(lang) == lang
+    assert normalize_lang("zh-hans-cn") == "zh-Hans"
+    assert normalize_lang("ZH_HANT") == "zh-Hant"
+    assert normalize_lang("jpn") == "ja"
+    assert normalize_lang("rus") == "ru"
+    assert normalize_lang("kor") == "ko"
+    assert normalize_lang("ara") == "ar"

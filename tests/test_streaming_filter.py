@@ -190,3 +190,62 @@ def test_stream_filter_drop_rows_present(spark, tmp_path, model_artifact,
     assert (~got["keep"]).any() and got["keep"].any()
     assert got.loc[~got["keep"], "drop_reason"].notna().all()
     assert got.loc[got["keep"], "drop_reason"].isna().all()
+
+
+def test_compact_landing_dir_then_resume_is_noop(spark, tmp_path,
+                                                 model_artifact, ppl_model):
+    """Round-7 VERDICT #6: after a drain, compact_landing_dir archives
+    the drained shards and removes them; a resumed drain then processes
+    ZERO rows (the checkpoint, not the directory, is the memory), and a
+    genuinely new shard still drains normally afterwards.  Uncommitted
+    shards (landed after the drain) are never touched."""
+    from yalder_spark.streaming.compaction import compact_landing_dir
+    from yalder_spark.streaming.filter_stream import run_filter_stream
+
+    shards = _shards()
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    arc = str(tmp_path / "archive")
+    for sh in shards[:-1]:
+        spark.createDataFrame(sh).coalesce(1).write.mode("append").parquet(inp)
+
+    rep1 = run_filter_stream(spark, inp, out, model_artifact, ppl_model)
+    n_drained = rep1["n_input_rows"]
+
+    # a shard that lands AFTER the drain must survive compaction intact
+    spark.createDataFrame(shards[-1]).coalesce(1) \
+        .write.mode("append").parquet(inp)
+
+    crep = compact_landing_dir(
+        spark, inp, rep1["checkpoint"], archive_path=arc)
+    assert crep["n_compacted_rows"] == n_drained
+    assert crep["n_compacted_files"] >= 2
+    assert crep["n_left_files"] == 1          # the undrained late shard
+    assert crep["deleted"] is True
+    # archive holds exactly the drained rows; landing dir holds the rest
+    assert spark.read.parquet(arc).count() == n_drained
+    left = spark.read.parquet(inp).toPandas()
+    pd.testing.assert_frame_equal(_canon(left), _canon(shards[-1]))
+
+    # resumed drain processes exactly the late shard — nothing replays
+    # from the archive or from the removed originals
+    rep2 = run_filter_stream(spark, inp, out, model_artifact, ppl_model)
+    assert rep2["n_input_rows"] == len(shards[-1])
+
+    # ... and with everything drained + compacted, a further resume is
+    # a true no-op over a directory that is now EMPTY of data files
+    crep2 = compact_landing_dir(
+        spark, inp, rep1["checkpoint"], archive_path=arc)
+    assert crep2["n_left_files"] == 0
+    rep3 = run_filter_stream(spark, inp, out, model_artifact, ppl_model)
+    assert rep3["n_input_rows"] == 0
+    # archive accumulated both compaction runs
+    assert spark.read.parquet(arc).count() == n_drained + len(shards[-1])
+
+
+def test_compact_landing_dir_refuses_archive_inside_input(spark, tmp_path):
+    from yalder_spark.streaming.compaction import compact_landing_dir
+
+    with pytest.raises(ValueError, match="inside the landing dir"):
+        compact_landing_dir(spark, str(tmp_path / "in"),
+                            str(tmp_path / "ckpt"),
+                            archive_path=str(tmp_path / "in" / "arch"))

@@ -107,6 +107,99 @@ def gen_corpus(n_per_lang: int = 1000, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["lang", "text", "split"])
 
 
+# ---------------------------------------------------------------------------
+# B2-wide (round-7 VERDICT #3): 10-language corpus exercising non-Latin
+# scripts, a zh-Hans/zh-Hant SCRIPT-VARIANT pair, and ja/zh Han-character
+# confusion.  Entirely ADDITIVE — the frozen seed-42 gen_corpus stream
+# above is untouched (goldens depend on it byte-for-byte).
+#
+# Confusability is deliberate (the gate must be falsifiable):
+#  - zh-Hans and zh-Hant draw words from character pools sharing 50%
+#    of their codepoints (shared base characters; the other half is
+#    variant-only), plus 10% direct cross-script word borrowing
+#    (real-world mixed-script text);
+#  - ja mixes kana with kanji words drawn FROM THE zh-Hans POOL
+#    (15% of tokens) — the honest zh/ja confusion channel;
+#  - every non-Latin language takes 8% Latin loanwords from _COMMON
+#    (brand/tech words survive in web text of any script);
+#  - the four Latin languages keep the frozen overlapping-vocabulary
+#    sentence() rules.
+_RU_WORDS = ("и в не на что он как это она они мы вы быть весь свой который "
+             "время человек жизнь день рука работа слово место вопрос дом "
+             "город страна вода небо земля утро вечер сегодня завтра вчера "
+             "большой маленький новый старый хороший быстрый медленный "
+             "говорить знать думать видеть хотеть школа книга друг семья").split()
+_AR_WORDS = ("في من على أن إلى عن مع هذا كان لم ما لا هو هي أو ثم قد كل بعد "
+             "قبل بين يوم عمل كتاب مدينة بيت ماء سماء أرض شمس قمر ليل صباح "
+             "كبير صغير جديد قديم جميل سريع بطيء مدرسة صديق عائلة طعام جبل "
+             "بحر طريق يد عين قلب كلمة سؤال جواب وقت حياة انسان عالم").split()
+_KO_WORDS = ("그리고 하지만 그래서 우리 당신 사람 시간 학교 나라 도시 마음 "
+             "생각 사랑 친구 가족 음식 물 하늘 바다 산 아침 저녁 오늘 내일 "
+             "어제 크다 작다 좋다 나쁘다 빠르다 느리다 공부 일 책 말 길 집 "
+             "손 눈 머리 소리 빛 바람 비 눈물 웃음 노래 이야기 세상 평화").split()
+_JA_KANA = ("わたし あなた これ それ です ます から まで とき ひと やま かわ "
+            "そら うみ あさ よる きょう あした きのう がっこう ともだち かぞく "
+            "たべもの みず おおきい ちいさい あたらしい ふるい はやい おそい "
+            "べんきょう しごと ほん ことば みち いえ て め こころ こえ ひかり "
+            "かぜ あめ なみだ わらい うた はなし せかい へいわ コンピュータ "
+            "インターネット データ システム ニュース テレビ カメラ ホテル").split()
+
+_wide_rng = random.Random(11)
+# zh-Hant pool: back 50% of the Hans pool (shared base characters) +
+# 80 variant-only codepoints from a disjoint CJK range
+_HANT_POOL = _ZH_POOL[80:] + [chr(c) for c in range(0x9E20, 0x9E70)]
+_HANT_WORDS = ["".join(_wide_rng.choice(_HANT_POOL)
+                       for _ in range(_wide_rng.randint(1, 3)))
+               for _ in range(90)]
+# kanji words for ja, drawn from the zh-Hans pool (shared Han characters)
+_KANJI_WORDS = ["".join(_wide_rng.choice(_ZH_POOL)
+                        for _ in range(_wide_rng.randint(1, 2)))
+                for _ in range(30)]
+
+WIDE_LANGS = ("ar", "de", "en", "es", "fr", "ja", "ko", "ru",
+              "zh-Hans", "zh-Hant")
+P_LOAN_WIDE = 0.08    # Latin loanword rate in non-Latin text
+P_KANJI_JA = 0.15     # kanji (zh-Hans-pool) word rate in ja text
+P_CROSS_HAN = 0.10    # zh-Hans <-> zh-Hant word borrowing
+
+_WIDE_WORDS = {"ru": _RU_WORDS, "ar": _AR_WORDS, "ko": _KO_WORDS,
+               "ja": _JA_KANA, "zh-Hans": _ZH_WORDS, "zh-Hant": _HANT_WORDS}
+
+
+def wide_sentence(rng: random.Random, lang: str,
+                  lo: int = 6, hi: int = 22) -> str:
+    if lang in ("de", "en", "es", "fr"):
+        return sentence(rng, lang, lo, hi)
+    n = rng.randint(lo, hi)
+    words = []
+    for _ in range(n):
+        r = rng.random()
+        if r < P_LOAN_WIDE:
+            words.append(rng.choice(_COMMON))
+        elif lang == "ja" and r < P_LOAN_WIDE + P_KANJI_JA:
+            words.append(rng.choice(_KANJI_WORDS))
+        elif lang == "zh-Hans" and r < P_LOAN_WIDE + P_CROSS_HAN:
+            words.append(rng.choice(_HANT_WORDS))
+        elif lang == "zh-Hant" and r < P_LOAN_WIDE + P_CROSS_HAN:
+            words.append(rng.choice(_ZH_WORDS))
+        else:
+            words.append(rng.choice(_WIDE_WORDS[lang]))
+    return " ".join(words)
+
+
+def gen_corpus_wide(n_per_lang: int = 600, seed: int = 43) -> pd.DataFrame:
+    """B2-wide — (lang, text, split) over WIDE_LANGS; split rule
+    identical to gen_corpus (test iff md5(text) % 10 == 0)."""
+    rng = random.Random(seed)
+    rows = []
+    for lang in WIDE_LANGS:
+        for _ in range(n_per_lang):
+            t = wide_sentence(rng, lang)
+            h = int(hashlib.md5(t.encode()).hexdigest(), 16)
+            rows.append((lang, t, "test" if h % 10 == 0 else "train"))
+    return pd.DataFrame(rows, columns=["lang", "text", "split"])
+
+
 def _commit(repo: str, path: str, seed: int) -> str:
     return hashlib.sha1(f"{repo}/{path}@{seed}".encode()).hexdigest()
 

@@ -55,14 +55,53 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def _mod_mersenne(x: np.ndarray, scratch: np.ndarray) -> np.ndarray:
+    """In-place ``x %= MERSENNE`` for int64 ``x`` of ANY sign, bitwise
+    identical to numpy floor-mod (verified on 200k adversarial values
+    incl. INT64_MIN/MAX and every boundary around +-MERSENNE).  With
+    M = 2^61 - 1: x = q*2^61 + r (q = arithmetic-shift floor, r = x & M
+    in [0, 2^61)) = q*M + (q + r), so x mod M = (q + r) mod M with
+    q in [-4, 3] => q + r in [-4, M + 3]: at most one conditional
+    subtract plus one conditional add.  ~1.8x over ``%`` (integer
+    division is the slow path; shifts/masks/adds are not)."""
+    np.right_shift(x, 61, out=scratch)
+    x &= MERSENNE
+    x += scratch
+    x[x >= MERSENNE] -= MERSENNE
+    x[x < 0] += MERSENNE
+    return x
+
+
 def _minhash_batch(texts: pd.Series) -> np.ndarray:
     """[n_docs, N_PERM] MinHash signatures over char-4-gram shingle
-    sets.  Per perm: permuted hashes computed IN-PLACE into one reused
-    buffer (int64 wraparound — the frozen spec; this sandbox punishes
-    large numpy temporaries with mmap page-fault churn, so zero
-    allocations in the loop) and reduced per doc with minimum.reduceat:
-    hashes arrive doc-sorted from batch_ngram_hashes, so doc segments
-    are contiguous — ~10x faster than the previous np.minimum.at."""
+    sets.  Hashes arrive doc-sorted from batch_ngram_hashes, so doc
+    segments are contiguous and each perm reduces with
+    minimum.reduceat (~10x over np.minimum.at).  All loop buffers are
+    preallocated and reused (this sandbox punishes large numpy
+    temporaries with mmap page-fault churn).
+
+    Two regimes, both bitwise identical to the frozen r1 spec
+    (int64-wraparound a*h+b then floor-mod MERSENNE; d2/e4 goldens
+    pin it), selected by the batch's distinct-shingle-value ratio:
+
+    - ratio <= 0.25 (real corpora: sf0.1 fixture ~1%, loose synthetic
+      ~5%): permute only the DISTINCT values and gather back through
+      the unique-inverse index — a permutation is pointwise, so equal
+      inputs map to equal outputs and the per-doc min is unchanged.
+      Measured 2.1x end-to-end per batch incl. shingling on the sf0.1
+      corpus (BENCH/round7_minhash.json).
+    - ratio > 0.25 (shingle-diverse batches, e.g. the 1M-probe's
+      random 32-char sha2 tokens at ratio 0.48): the gather costs more
+      than it saves; permute rows directly.  The fast Mersenne
+      reduction still wins 2.1x over ``%`` here (153.6 -> 71.9 ms on
+      a probe-shaped 512-doc batch).
+
+    The 0.25 cutoff is the measured crossover: at ratio 0.48 direct
+    beats gather 1.5x; at 0.05 gather beats direct 1.2x.  Batch size
+    stays at the session's 512 — larger batches LOWER the ratio but
+    were measured net-slower on real documents (+27% at 2048: the
+    row-sized buffers fall out of cache, the sandbox's known
+    large-temporary penalty)."""
     hashes, doc_ids, n_docs = batch_ngram_hashes(texts)
     sig = np.full((n_docs, N_PERM), MERSENNE, dtype=np.int64)
     if not len(hashes):
@@ -86,11 +125,23 @@ def _minhash_batch(texts: pd.Series) -> np.ndarray:
     ne_starts = starts[nonempty]
     ne_idx = np.nonzero(nonempty)[0]
     buf = np.empty(len(h), np.int64)
-    for p in range(N_PERM):
-        np.multiply(h, _PERM_A[p], out=buf)
-        buf += _PERM_B[p]
-        buf %= MERSENNE
-        sig[ne_idx, p] = np.minimum.reduceat(buf, ne_starts)
+    uniq, inv = np.unique(h, return_inverse=True)
+    if len(uniq) <= len(h) // 4:
+        ubuf = np.empty(len(uniq), np.int64)
+        scratch = np.empty(len(uniq), np.int64)
+        for p in range(N_PERM):
+            np.multiply(uniq, _PERM_A[p], out=ubuf)
+            ubuf += _PERM_B[p]
+            _mod_mersenne(ubuf, scratch)
+            np.take(ubuf, inv, out=buf)
+            sig[ne_idx, p] = np.minimum.reduceat(buf, ne_starts)
+    else:
+        scratch = np.empty(len(h), np.int64)
+        for p in range(N_PERM):
+            np.multiply(h, _PERM_A[p], out=buf)
+            buf += _PERM_B[p]
+            _mod_mersenne(buf, scratch)
+            sig[ne_idx, p] = np.minimum.reduceat(buf, ne_starts)
     return sig
 
 
@@ -136,7 +187,23 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            max_bucket: int = 1024) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from LSH bucket
-    collisions.  Self-join on (band, band_hash); dedup across bands.
+    collisions; dedup across bands.
+
+    Plan: self-join on (band, band_hash) over a CACHED band relation.
+    The band relation has THREE consumers (the bucket-count aggregation
+    and both join sides); uncached, each consumer re-runs the signature
+    UDF over the full corpus — measured at 1M docs, the machinery after
+    the map-only banding was 79% of the stage wall and most of it was
+    exactly this recompute (BENCH/round7_minhash_stage.json).  The
+    cache carries (id, band int, hash) only — never text — following
+    the chain's id-only cache discipline; ~500 MB per 1M docs, spills
+    to disk under pressure (default storage level).  A
+    groupBy+collect_list+pair-explode single-shuffle rewrite was
+    measured SLOWER than even the uncached self-join (46 vs 36 s at
+    1M: 16M mostly-singleton object buffers push the aggregation into
+    sort-based fallback) and was rejected; the cached self-join wins
+    (20 s).  Pair-set equality of whatever formulation ships is pinned
+    in tests/test_dedup.py.
 
     ``max_bucket`` caps degenerate buckets (same guard as d3b/e4): B
     ids in one bucket emit B(B-1)/2 pairs, so one pathological bucket —
@@ -147,7 +214,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     owns.  The pure oracle omits the cap — parity holds on any corpus
     where no bucket exceeds it (the goldens' corpora do), the same
     contract as simhash_candidates/embedding_neardup."""
-    b = lsh_bands(df, text_col, id_col)
+    b = lsh_bands(df, text_col, id_col).cache()
     if max_bucket:
         big = (b.groupBy("band", "band_hash").count()
                .filter(F.col("count") > max_bucket)

@@ -238,6 +238,30 @@ def write_text_any_fs(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def read_text_any_fs(spark: SparkSession, path: str) -> str | None:
+    """Counterpart of :func:`write_text_any_fs` — small sidecar read
+    through the Hadoop FileSystem API for any URI scheme; None if the
+    file does not exist."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    # py4j passes byte[] by value (mutations don't come back), so read
+    # line-wise through a JDK BufferedReader instead of a read(buf) loop
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try:
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                return "\n".join(lines)
+            lines.append(line)
+    finally:
+        reader.close()
+
+
 def read_output(spark: SparkSession, out_path: str) -> DataFrame:
     """Read back only COMMITTED buckets (ignores any staging leftovers)."""
     done = committed_buckets(out_path)

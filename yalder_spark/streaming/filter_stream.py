@@ -32,6 +32,7 @@ O(files seen), not O(rows).
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -147,15 +148,27 @@ def run_filter_stream(spark: SparkSession, input_path: str,
     config = config or FilterConfig()
     checkpoint = checkpoint or os.path.join(output_path, "_checkpoint")
 
-    # File streams need an explicit schema; pin it from ONE shard's
-    # footer (stream and batch agree by construction; the full-directory
-    # listing is left to the source, which has to do it anyway).
-    first = _one_data_file(spark, input_path)
-    if first is None:
-        raise FileNotFoundError(
-            f"no parquet shard under {input_path} to pin the stream "
-            "schema from — the first drain needs at least one file")
-    schema = spark.read.parquet(first).schema
+    # File streams need an explicit schema.  The FIRST drain pins it
+    # from one shard's footer and persists it as a sidecar next to the
+    # checkpoint; later drains read the sidecar — so a resume works
+    # even when the landing dir is momentarily EMPTY of data files
+    # (the normal state right after compact_landing_dir), and no
+    # footer is re-read per drain.
+    from ..sources.io import read_text_any_fs, write_text_any_fs
+    from pyspark.sql.types import StructType
+
+    schema_sidecar = os.path.join(checkpoint, "_yalder_input_schema.json")
+    sidecar_text = read_text_any_fs(spark, schema_sidecar)
+    if sidecar_text is not None:
+        schema = StructType.fromJson(json.loads(sidecar_text))
+    else:
+        first = _one_data_file(spark, input_path)
+        if first is None:
+            raise FileNotFoundError(
+                f"no parquet shard under {input_path} to pin the stream "
+                "schema from — the first drain needs at least one file")
+        schema = spark.read.parquet(first).schema
+        write_text_any_fs(spark, schema_sidecar, json.dumps(schema.jsonValue()))
 
     # maxFileAge default is 7d: a shard BACKFILLED with an old mtime
     # (rsync -a / distcp of an old export) would be silently ignored on
