@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Production entry point: compact a streaming landing directory.
+
+    python scripts/compact_landing.py \
+        --input <landing_dir> --checkpoint <stream_checkpoint> \
+        --archive <archive_dir> [--keep] [--master local[32]]
+
+Archives every shard the ``run_filter.py --streaming`` checkpoint has
+durably processed (source-log entry with a matching COMMIT) into
+``--archive`` and then deletes the originals, bounding the per-trigger
+directory listing and — combined with a ``--max-file-age`` above the
+compaction cadence — the source's seen-files map (SCALE.md, streaming
+ingest lifecycle).  ``--keep`` archives without deleting (dry-ish run).
+
+The job is pure JVM (metadata listing + parquet copy): no py-files zip
+is shipped because no Python worker code runs.  Prints one JSON report
+line; ``n_left_files`` counts the not-yet-drained shards left behind.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="streaming landing directory to compact")
+    ap.add_argument("--checkpoint", required=True,
+                    help="the stream's checkpoint dir (the memory of "
+                         "which shards were drained)")
+    ap.add_argument("--archive", required=True,
+                    help="archival parquet dir; must lie OUTSIDE "
+                         "--input or the archive would be re-ingested")
+    ap.add_argument("--keep", action="store_true",
+                    help="archive but do not delete the originals")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from yalder_spark.pipeline import build_session
+    from yalder_spark.streaming.compaction import compact_landing_dir
+
+    spark = build_session("yalder-compact", master=args.master)
+    report = compact_landing_dir(spark, args.input, args.checkpoint,
+                                 archive_path=args.archive,
+                                 delete=not args.keep)
+    print(f"compacted {report['n_compacted_files']} files / "
+          f"{report['n_compacted_rows']} rows -> {report['archive']} "
+          f"(deleted={report['deleted']}, "
+          f"left={report['n_left_files']})", file=sys.stderr)
+    print(json.dumps(report, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,13 @@ def main() -> None:
                     help="streaming checkpoint dir (default "
                          "<output>/_checkpoint)")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--max-file-age", default=None,
+                    help="streaming source maxFileAge (e.g. '30d'); the "
+                         "default 3650d never skips a backfilled shard "
+                         "but keeps the seen-files map growing — with a "
+                         "compaction cadence (scripts/compact_landing.py) "
+                         "set this comfortably above the cadence to "
+                         "bound the map (see SCALE.md)")
     args = ap.parse_args()
 
     # arg-vs-arg validation BEFORE the (expensive) JVM spin-up
@@ -82,10 +89,11 @@ def main() -> None:
         ap.error("--streaming supports --input-format parquet only "
                  "in this build")
     if not args.streaming and (args.checkpoint is not None
-                               or args.max_files_per_trigger is not None):
-        ap.error("--checkpoint/--max-files-per-trigger require "
-                 "--streaming (the batch job uses the bucket manifest, "
-                 "not a streaming checkpoint)")
+                               or args.max_files_per_trigger is not None
+                               or args.max_file_age is not None):
+        ap.error("--checkpoint/--max-files-per-trigger/--max-file-age "
+                 "require --streaming (the batch job uses the bucket "
+                 "manifest, not a streaming checkpoint)")
     if args.streaming and args.buckets is not None:
         # symmetric with the check above (ADVICE r5 #3): streaming has
         # no bucket manifest, so ANY explicit --buckets (even the
@@ -102,10 +110,14 @@ def main() -> None:
     if args.streaming:
         from yalder_spark.streaming.filter_stream import run_filter_stream
 
+        stream_kwargs = {}
+        if args.max_file_age is not None:
+            stream_kwargs["max_file_age"] = args.max_file_age
         report = run_filter_stream(
             spark, args.input, args.output, args.model, args.ppl_model,
             checkpoint=args.checkpoint,
-            max_files_per_trigger=args.max_files_per_trigger)
+            max_files_per_trigger=args.max_files_per_trigger,
+            **stream_kwargs)
         m = report["metrics"]
         if report["count_exact"]:
             print(f"stream drain: rows={report['n_input_rows']} "

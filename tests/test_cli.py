@@ -68,10 +68,13 @@ def test_run_filter_cli(cli_input, tmp_path):
 
 
 def test_run_filter_cli_streaming(cli_input, tmp_path, spark):
-    """--streaming drains a landing DIRECTORY via availableNow; a
-    second invocation in a FRESH process resumes from the checkpoint
-    and processes nothing — cross-process exactly-once, which the
-    in-session test (test_streaming_filter.py) cannot prove."""
+    """--streaming drains a landing DIRECTORY via availableNow; then
+    the full production lifecycle loop across FRESH processes:
+    compact_landing.py archives+removes the drained shards, and a
+    resumed drain (with the --max-file-age knob the loop relies on)
+    still processes nothing — cross-process exactly-once plus the
+    compaction cadence, which the in-session test
+    (test_streaming_filter.py) cannot prove."""
     inp = str(tmp_path / "landing")
     os.makedirs(inp)
     pdf = pd.read_parquet(cli_input)
@@ -85,7 +88,18 @@ def test_run_filter_cli_streaming(cli_input, tmp_path, spark):
     report = json.loads(_run_cli(*args).strip().splitlines()[-1])
     assert report["n_input_rows"] == len(pdf)
 
-    report2 = json.loads(_run_cli(*args).strip().splitlines()[-1])
+    arc = str(tmp_path / "archive")
+    crep = json.loads(_run_cli(
+        "compact_landing.py", "--input", inp,
+        "--checkpoint", os.path.join(out, "_checkpoint"),
+        "--archive", arc, "--master", "local[4]",
+    ).strip().splitlines()[-1])
+    assert crep["n_compacted_files"] == 2
+    assert crep["n_compacted_rows"] == len(pdf)
+    assert crep["n_left_files"] == 0 and crep["deleted"] is True
+
+    report2 = json.loads(_run_cli(
+        *args, "--max-file-age", "30d").strip().splitlines()[-1])
     assert report2["n_input_rows"] == 0
 
     # sink has a streaming commit log and exactly the input's rows —
@@ -106,6 +120,7 @@ def test_run_filter_cli_rejects_conflicting_flags(tmp_path):
     for extra in (
         ["--checkpoint", str(tmp_path / "c")],
         ["--max-files-per-trigger", "2"],
+        ["--max-file-age", "30d"],
         ["--streaming", "--buckets", "8"],
         ["--streaming", "--buckets", "256"],  # explicit default too
         ["--streaming", "--input-format", "iceberg"],

@@ -249,3 +249,35 @@ def test_compact_landing_dir_refuses_archive_inside_input(spark, tmp_path):
         compact_landing_dir(spark, str(tmp_path / "in"),
                             str(tmp_path / "ckpt"),
                             archive_path=str(tmp_path / "in" / "arch"))
+
+
+def test_corrupt_schema_sidecar_recovers_from_footer(spark, tmp_path,
+                                                     model_artifact,
+                                                     ppl_model):
+    """fs.create() makes the sidecar file before its bytes land, so a
+    crash mid-first-drain can leave it empty — the next drain must
+    re-pin the schema from a shard footer and REWRITE the sidecar, not
+    brick every resume on a JSON parse error."""
+    import json
+    import os
+
+    from yalder_spark.streaming.filter_stream import run_filter_stream
+
+    shards = _shards()
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(shards[0]).coalesce(1) \
+        .write.mode("append").parquet(inp)
+
+    os.makedirs(ckpt)
+    sidecar = os.path.join(ckpt, "_yalder_input_schema.json")
+    open(sidecar, "w").close()  # the truncated leftover
+
+    rep = run_filter_stream(spark, inp, out, model_artifact, ppl_model,
+                            checkpoint=ckpt)
+    assert rep["n_input_rows"] == len(shards[0])
+    # sidecar healed: next drain parses it (and drains nothing new)
+    json.loads(open(sidecar).read())
+    rep2 = run_filter_stream(spark, inp, out, model_artifact, ppl_model,
+                             checkpoint=ckpt)
+    assert rep2["n_input_rows"] == 0

@@ -108,6 +108,15 @@ def compact_landing_dir(spark: SparkSession, input_path: str,
     re-filtered, breaking exactly-once.  Shards not (yet) recorded as
     committed are left untouched, as is anything that isn't a data
     file.  ``delete=False`` archives without removing (dry-ish run).
+
+    Crash window, stated honestly: if the process dies between the
+    archive write and the deletes, the next run re-archives the
+    still-present shards, so the ARCHIVE can hold duplicate rows of
+    that window.  The archive is advisory cold storage; the
+    exactly-once surface is the filter SINK (commit log), which this
+    helper never touches.  Archive readers wanting exact rows should
+    dedup on content identity — cheap, and only ever needed after a
+    mid-compaction crash.
     """
     in_norm = _uri_path(input_path).rstrip("/") + "/"
     ar_norm = _uri_path(archive_path).rstrip("/") + "/"

@@ -159,9 +159,17 @@ def run_filter_stream(spark: SparkSession, input_path: str,
 
     schema_sidecar = os.path.join(checkpoint, "_yalder_input_schema.json")
     sidecar_text = read_text_any_fs(spark, schema_sidecar)
+    schema = None
     if sidecar_text is not None:
-        schema = StructType.fromJson(json.loads(sidecar_text))
-    else:
+        try:
+            schema = StructType.fromJson(json.loads(sidecar_text))
+        except (ValueError, KeyError, TypeError):
+            # fs.create() makes the file before the bytes land, so a
+            # crash mid-first-drain can leave an empty/truncated
+            # sidecar — re-pin from a footer and overwrite rather than
+            # bricking every future resume on a JSON parse error
+            schema = None
+    if schema is None:
         first = _one_data_file(spark, input_path)
         if first is None:
             raise FileNotFoundError(
