@@ -102,7 +102,8 @@ def child(n: int) -> None:
     ke = exact_dedup(warm, "content", "doc_id")
     wu = warm.join(ke.select(F.col("keep_id").alias("doc_id")),
                    "doc_id", "left_semi")
-    wc = minhash_lsh_candidates(wu, "content", "doc_id").cache()
+    wc = minhash_lsh_candidates(wu, "content", "doc_id",
+                                materialize=True).cache()
     wc.count()
     wp = (ngram_jaccard_pairs(wu, wc, "content", "doc_id")
           .filter(F.col("jaccard") >= THRESHOLD).select("id_a", "id_b"))
@@ -132,8 +133,22 @@ def child(n: int) -> None:
         timed("exact_dedup", keep_exact.count)
         uniq = docs.join(keep_exact, "doc_id", "left_semi")
 
-        cand = minhash_lsh_candidates(uniq, "content", "doc_id").cache()
-        timed("minhash_lsh_candidates", cand.count)
+        # materialize=True is the SHIPPED chain shape (pipeline
+        # _dedup_survivors): eager candidate pin + internal band-cache
+        # release inside the call — which also makes min-of-2 honest
+        # (without it, pass 2 silently reused pass 1's band cache:
+        # round-7 review finding).  Eager => construction must sit
+        # inside the timed closure, same rule as cluster_cc below.
+        cand_box = []
+
+        def s_candidates():
+            c = minhash_lsh_candidates(uniq, "content", "doc_id",
+                                       materialize=True).cache()
+            cand_box.append(c)
+            return c.count()
+
+        timed("minhash_lsh_candidates", s_candidates)
+        cand = cand_box[-1]
 
         pairs = (ngram_jaccard_pairs(uniq, cand, "content", "doc_id")
                  .filter(F.col("jaccard") >= THRESHOLD)

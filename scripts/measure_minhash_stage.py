@@ -49,19 +49,25 @@ def main() -> None:
 
     warm = synth_docs(spark, 50_000).withColumn(
         "doc_id", F.xxhash64("repo", "path", "commit"))
-    minhash_lsh_candidates(warm, "content", "doc_id").count()
+    minhash_lsh_candidates(warm, "content", "doc_id",
+                           materialize=True).count()
 
     docs = synth_docs(spark, N).withColumn(
         "doc_id", F.xxhash64("repo", "path", "commit")).cache()
     docs.count()
 
     out = {}
+    # candidates runs with materialize=True (the shipped chain shape):
+    # the call releases its internal band cache before returning, so
+    # attempt 2 of min-of-2 cannot silently reuse attempt 1's cache
+    # (round-7 review finding — the earlier [20.06, 33.23] attempt
+    # inversion was exactly this: non-independent attempts)
     for name, fn in (
         ("sig_only", lambda: minhash_signatures(docs, "content",
                                                 "doc_id").count()),
         ("bands_only", lambda: lsh_bands(docs, "content", "doc_id").count()),
-        ("candidates", lambda: minhash_lsh_candidates(docs, "content",
-                                                      "doc_id").count()),
+        ("candidates", lambda: minhash_lsh_candidates(
+            docs, "content", "doc_id", materialize=True).count()),
     ):
         times = []
         for _ in range(2):

@@ -76,10 +76,12 @@ def main() -> None:
     ap.add_argument("--max-file-age", default=None,
                     help="streaming source maxFileAge (e.g. '30d'); the "
                          "default 3650d never skips a backfilled shard "
-                         "but keeps the seen-files map growing — with a "
-                         "compaction cadence (scripts/compact_landing.py) "
-                         "set this comfortably above the cadence to "
-                         "bound the map (see SCALE.md)")
+                         "but keeps the seen-files map growing. Setting "
+                         "it small bounds the map ONLY under a "
+                         "fresh-mtime landing contract — a never-drained "
+                         "shard copied in with a preserved old mtime "
+                         "(rsync -a) is silently age-skipped regardless "
+                         "of compaction (see SCALE.md)")
     args = ap.parse_args()
 
     # arg-vs-arg validation BEFORE the (expensive) JVM spin-up

@@ -291,10 +291,12 @@ def test_minhash_batch_paths_bitwise_identical():
 
 
 def test_lsh_candidates_match_selfjoin_formulation(spark, docs_with_dups):
-    """Round-7 plan rewrite: the one-shuffle collect_list + pair-explode
-    candidate generator must produce EXACTLY the pair set of the
-    original (band, band_hash) self-join formulation, capped and
-    uncapped."""
+    """Round-7 plan change (the SHIPPED formulation is the self-join
+    over a cached — or, with materialize=True, eagerly pinned — band
+    relation; a collect_list rewrite was measured slower and rejected,
+    BENCH/round7_minhash_stage.json): whatever formulation ships must
+    produce EXACTLY the pair set of the plain uncached self-join
+    reference below, capped and uncapped, lazy and materialized."""
     from yalder_spark.operators.dedup import lsh_bands, minhash_lsh_candidates
 
     def selfjoin_reference(df, max_bucket):
@@ -318,3 +320,37 @@ def test_lsh_candidates_match_selfjoin_formulation(spark, docs_with_dups):
                for r in selfjoin_reference(docs_with_dups, cap).collect()}
         assert got == ref, f"pair sets diverge at max_bucket={cap}"
         assert got  # non-vacuous: planted dups guarantee candidates
+
+    # the chain's leak-free path (eager pin + band-cache release)
+    # returns the same pairs
+    mat = {(r.id_a, r.id_b)
+           for r in minhash_lsh_candidates(docs_with_dups, max_bucket=1024,
+                                           materialize=True).collect()}
+    assert mat == {(r.id_a, r.id_b)
+                   for r in selfjoin_reference(docs_with_dups, 1024).collect()}
+
+
+def test_lsh_candidates_materialize_releases_band_cache(spark,
+                                                        docs_with_dups):
+    """materialize=True must leave NO SQL-cache registration behind
+    (the band cache is released inside the call; the eager result is
+    an RDD-level localCheckpoint, not a CacheManager entry), while the
+    lazy default keeps one (the documented session-lifetime backing).
+    reliable_checkpoint without materialize is an argument error."""
+    from yalder_spark.operators.dedup import minhash_lsh_candidates
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+
+    out = minhash_lsh_candidates(docs_with_dups, materialize=True)
+    assert out.count() > 0
+    assert cm.isEmpty(), "band cache leaked past materialize=True"
+
+    lazy = minhash_lsh_candidates(docs_with_dups)
+    assert not cm.isEmpty(), "lazy path should register the band cache"
+    assert lazy.count() > 0
+    spark.catalog.clearCache()
+
+    with pytest.raises(ValueError, match="materialize"):
+        minhash_lsh_candidates(docs_with_dups, reliable_checkpoint=True)

@@ -185,7 +185,9 @@ def lsh_bands(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
-                           max_bucket: int = 1024) -> DataFrame:
+                           max_bucket: int = 1024,
+                           materialize: bool = False,
+                           reliable_checkpoint: bool = False) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from LSH bucket
     collisions; dedup across bands.
 
@@ -197,7 +199,16 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     exactly this recompute (BENCH/round7_minhash_stage.json).  The
     cache carries (id, band int, hash) only — never text — following
     the chain's id-only cache discipline; ~500 MB per 1M docs, spills
-    to disk under pressure (default storage level).  A
+    to disk under pressure (default storage level).  Cache lifetime
+    mirrors ``tfidf_topk``: by default the returned relation is lazy,
+    so the band cache backs it until the session evicts it —
+    acceptable for one-shot jobs, a per-corpus leak for long-lived
+    sessions.  ``materialize=True`` is the leak-free path: the small
+    candidate-pair RESULT (bounded by the near-dup fraction, not the
+    corpus) is eagerly materialized and the band cache unpersisted
+    before returning; ``reliable_checkpoint`` selects the
+    executor-loss-safe materialization (operators/checkpointing.py).
+    The curation chain uses this path.  A
     groupBy+collect_list+pair-explode single-shuffle rewrite was
     measured SLOWER than even the uncached self-join (46 vs 36 s at
     1M: 16M mostly-singleton object buffers push the aggregation into
@@ -214,7 +225,15 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     owns.  The pure oracle omits the cap — parity holds on any corpus
     where no bucket exceeds it (the goldens' corpora do), the same
     contract as simhash_candidates/embedding_neardup."""
-    b = lsh_bands(df, text_col, id_col).cache()
+    if reliable_checkpoint and not materialize:
+        # same contract as tfidf_topk (ADVICE r6 #4): the flag selects
+        # HOW the result is materialized, so it is meaningless alone —
+        # fail before anything is cached or built
+        raise ValueError("reliable_checkpoint=True requires "
+                         "materialize=True (it selects HOW the result "
+                         "is materialized)")
+    bands = lsh_bands(df, text_col, id_col).cache()
+    b = bands
     if max_bucket:
         big = (b.groupBy("band", "band_hash").count()
                .filter(F.col("count") > max_bucket)
@@ -222,12 +241,18 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         b = b.join(F.broadcast(big), ["band", "band_hash"], "left_anti")
     left = b.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     right = b.select(F.col(id_col).alias("id_b"), "band", "band_hash")
-    return (
+    out = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    if materialize:
+        from yalder_spark.operators.checkpointing import truncate_lineage
+
+        out = truncate_lineage(out, reliable_checkpoint)
+        bands.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
@@ -465,10 +490,17 @@ def jaccard_selfjoin(df: DataFrame, text_col: str = "text",
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", threshold: float = 0.7) -> DataFrame:
+                  id_col: str = "doc_id", threshold: float = 0.7,
+                  materialize: bool = False,
+                  reliable_checkpoint: bool = False) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates -> exact Jaccard
-    verify -> pairs above threshold."""
-    cand = minhash_lsh_candidates(df, text_col, id_col)
+    verify -> pairs above threshold.  ``materialize`` forwards to
+    `minhash_lsh_candidates` — the leak-free path that releases the
+    O(16 x n_docs) band cache once the (small) candidate set is
+    materialized; the curation chain passes True."""
+    cand = minhash_lsh_candidates(df, text_col, id_col,
+                                  materialize=materialize,
+                                  reliable_checkpoint=reliable_checkpoint)
     return (ngram_jaccard_pairs(df, cand, text_col, id_col)
             .filter(F.col("jaccard") >= threshold))
 

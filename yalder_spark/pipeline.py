@@ -149,8 +149,12 @@ def _dedup_survivors(df: DataFrame, content_col: str,
     n_uniq = keep_exact.count()  # materializes the small id set
     uniq = ids.join(keep_exact, "doc_id", "left_semi")
 
+    # materialize=True: the candidate set is eagerly pinned and the
+    # O(16 x n_docs) band cache released inside the call — restores
+    # this chain's stated contract that only small id-sized relations
+    # stay cached (round-7 review finding)
     pairs = minhash_dedup(uniq, content_col, "doc_id",
-                          threshold=neardup_threshold)
+                          threshold=neardup_threshold, materialize=True)
     if survivor_rule == "clusters":
         drop_near = (neardup_clusters(pairs.select("id_a", "id_b"),
                                       algorithm=cc_algorithm)

@@ -222,15 +222,22 @@ def write_buckets(df: DataFrame, out_path: str, lineage: dict,
                           n_buckets=n_buckets)
 
 
+def fs_and_path(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path, jvm) for ``path`` — THE one copy of
+    the py4j FS-resolution idiom (round-7 review: four call sites had
+    grown their own; any conf/credential fix must land exactly once)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
 def write_text_any_fs(spark: SparkSession, path: str, text: str) -> None:
     """Write a small text/JSON sidecar through the Hadoop FileSystem API
     so it lands next to the data for ANY output URI (local, file://,
     hdfs://, s3a://...) — a bare ``open()`` only works for local paths
     (round-2 ADVICE: run_curate.py's stats write broke the non-local
     contract its parquet write supports)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, p, _ = fs_and_path(spark, path)
     out = fs.create(p, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
@@ -242,9 +249,7 @@ def read_text_any_fs(spark: SparkSession, path: str) -> str | None:
     """Counterpart of :func:`write_text_any_fs` — small sidecar read
     through the Hadoop FileSystem API for any URI scheme; None if the
     file does not exist."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, p, jvm = fs_and_path(spark, path)
     if not fs.exists(p):
         return None
     # py4j passes byte[] by value (mutations don't come back), so read

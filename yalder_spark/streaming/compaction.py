@@ -21,13 +21,19 @@ paths (tests/test_streaming_filter.py pins this).
 
 Scale note — bounding the seen-files MAP, not just the directory: the
 map is rebuilt from the source log at restart, so deletion alone does
-not shrink it.  But once drained files are physically gone, a SMALL
-``max_file_age`` becomes safe again (the age guard exists only to keep
-old-mtime files from being skipped — files that no longer exist cannot
-be skipped), and the source prunes map entries older than the age.  A
-production loop is therefore: compact on a cadence, and pass
-``max_file_age`` comfortably larger than the compaction cadence instead
-of 3650d — bounded listing, bounded map, no correctness hole.
+not shrink it; shrinking it needs a small ``max_file_age``, which
+prunes map entries older than the age.  A small age is safe ONLY
+under a fresh-mtime landing contract: compaction removes DRAINED
+files, but a never-drained shard BACKFILLED with an old preserved
+mtime (rsync -a / distcp of an old export — the exact scenario the
+3650d default exists for) would still be silently age-skipped,
+compaction or not.  Production loop, stated honestly: compaction
+bounds the per-trigger LISTING unconditionally (the first thing that
+dies at millions of shards); additionally shrinking the seen-files
+map via a small ``max_file_age`` requires that everything landing in
+the dir carries a fresh mtime (direct writer output does; preserved
+-mtime copies do not — re-stamp them on landing or keep the large
+age).
 """
 
 from __future__ import annotations
@@ -38,13 +44,9 @@ from urllib.parse import urlparse
 
 from pyspark.sql import SparkSession
 
+from ..sources.io import fs_and_path
+
 __all__ = ["committed_source_files", "compact_landing_dir"]
-
-
-def _fs_and_path(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
 def _uri_path(p: str) -> str:
@@ -63,7 +65,7 @@ def committed_source_files(spark: SparkSession, checkpoint: str,
     files repeat earlier entries (dedup by path is harmless).  Read
     through the Hadoop FS API so any URI scheme works.
     """
-    fs, _, jvm = _fs_and_path(spark, checkpoint)
+    fs, _, jvm = fs_and_path(spark, checkpoint)
 
     commits = jvm.org.apache.hadoop.fs.Path(
         posixpath.join(checkpoint, "commits"))
@@ -91,7 +93,11 @@ def committed_source_files(spark: SparkSession, checkpoint: str,
         if not line.startswith("{"):
             continue  # v1 header
         entry = json.loads(line)
-        if int(entry.get("batchId", -1)) <= max_commit:
+        # a parseable entry MISSING batchId (format variance, partial
+        # write) must default to NOT-committed: this set feeds a
+        # delete, and the unsafe direction is over-inclusion
+        bid = entry.get("batchId")
+        if bid is not None and int(bid) <= max_commit:
             files.add(_uri_path(entry["path"]))
     return files
 
@@ -127,7 +133,7 @@ def compact_landing_dir(spark: SparkSession, input_path: str,
             "new shard")
 
     processed = committed_source_files(spark, checkpoint)
-    fs, in_p, jvm = _fs_and_path(spark, input_path)
+    fs, in_p, _ = fs_and_path(spark, input_path)
     to_remove = []
     n_left = 0
     if fs.exists(in_p):

@@ -101,9 +101,9 @@ def _one_data_file(spark: SparkSession, path: str) -> str | None:
     """First parquet data file under ``path`` via the Hadoop FS API
     (works for any URI) — so schema pinning reads ONE footer instead of
     batch-listing the whole landing directory every drain."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    from ..sources.io import fs_and_path
+
+    fs, p, _ = fs_and_path(spark, path)
     if not fs.exists(p):
         return None
     for st in fs.listStatus(p):
