@@ -758,6 +758,40 @@ def _q_c2_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("repo", "path").orderBy("path")
 
 
+def _q_w1_detect_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w1 — the round-7 WIDE langid surface as a driver row: train the
+    Spark trainer (T1–T5) on the deterministic 10-language / 5-script
+    corpus (`gen_corpus_wide` seed 43 — ar de en es fr ja ko ru
+    zh-Hans zh-Hant, incl. the half-shared-pool zh-Hans/zh-Hant
+    script-variant pair and ja text carrying zh-Hans-pool kanji) and
+    detect its held-out split.  Oracle = the frozen pure-Python
+    composition (train_oracle_model + detect_one over the SAME
+    corpus), so the driver hash-checks Spark-trainer-vs-pure-trainer
+    parity AND multi-script detection end to end — the pytest wide
+    gate (tests/test_detector.py) proves accuracy; this row proves the
+    Spark implementation computes the frozen spec on non-Latin
+    scripts.  sf-independent by construction (the corpus is generated,
+    not read from sf_dir), so the one golden is valid at every scale
+    factor."""
+    import numpy as np
+
+    from yalder_spark.fixtures.gen import gen_corpus_wide
+    from yalder_spark.operators.detector import detect_langs
+    from yalder_spark.operators.trainer import train
+
+    corpus = gen_corpus_wide(n_per_lang=120, seed=43)
+    tr = corpus[corpus["split"] == "train"][["lang", "text"]]
+    model = train(spark.createDataFrame(tr))
+    te = corpus[corpus["split"] == "test"].reset_index(drop=True)
+    te = te.assign(row_id=np.arange(len(te), dtype=np.int64))
+    out = detect_langs(spark.createDataFrame(te[["row_id", "lang", "text"]]),
+                       model, "text", keep_text=False)
+    return out.select("row_id", F.col("lang").alias("true_lang"),
+                      "detected_lang",
+                      F.round("lang_score", 6).alias("lang_score"),
+                      "n_ngrams")
+
+
 def _q_x9_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x9 — Python UDTF (lateral table function): per-document word
     frequencies for words of length >= 6 — the one UDF surface the rest
@@ -880,7 +914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row in the last two CORRECTNESS files sits inside the
     # first-50 prefix.
     return {
-        # NEW round 7: the composed curation/decontamination chains
+        # NEW round 7: the composed curation/decontamination chains +
+        # the wide (10-language / 5-script) langid surface
+        "w1_detect_wide": _q_w1_detect_wide,
         "c1_curate_corpus": _q_c1_curate_corpus,
         "c2_decontaminate_corpus": _q_c2_decontaminate_corpus,
         # green r5 only, rotated outside r6's window — rotate back in
@@ -1002,6 +1038,7 @@ def _golden_sql(name: str) -> str:
 
 _GOLDEN_QUERIES = (
     "c1_curate_corpus",
+    "w1_detect_wide",
     "h4_h8_detect", "q1_perplexity", "t2_ngram_counts", "t34_model_table",
     "pipeline_flagship", "d2_minhash_neardup", "d3_simhash",
     "d3b_simhash_candidates", "d4_fingerprint", "e2_ann_lsh", "e3_ann_ivf",

@@ -73,6 +73,27 @@ def g_h4_h8_detect(docs, model, ppl) -> pd.DataFrame:
                                        "lang_score", "n_ngrams"])
 
 
+def g_w1_detect_wide(docs, model, ppl) -> pd.DataFrame:
+    """Round-7 wide-langid driver row: pure-oracle train + detect over
+    the deterministic 10-language / 5-script corpus (gen_corpus_wide
+    seed 43).  Ignores the sf0.01 docs/models — the corpus is
+    generated, so this golden is sf-independent."""
+    from yalder_spark.fixtures.gen import gen_corpus_wide
+    from yalder_spark.oracle.pure_detector import train_oracle_model
+
+    corpus = gen_corpus_wide(n_per_lang=120, seed=43)
+    tr = corpus[corpus["split"] == "train"]
+    m = train_oracle_model(list(zip(tr["lang"], tr["text"])))
+    te = corpus[corpus["split"] == "test"].reset_index(drop=True)
+    rows = []
+    for i, (lang, text) in enumerate(zip(te["lang"], te["text"])):
+        dl, s, _conf, n = detect_one(text, m)
+        rows.append((i, lang, dl, P.spark_round(s, 6), n))
+    return pd.DataFrame(rows, columns=["row_id", "true_lang",
+                                       "detected_lang", "lang_score",
+                                       "n_ngrams"])
+
+
 def g_q1_perplexity(docs, model, ppl) -> pd.DataFrame:
     import math
 
@@ -299,6 +320,7 @@ def g_m3_audio_features(docs, model, ppl) -> pd.DataFrame:
 
 GOLDENS = {
     "c1_curate_corpus": g_c1_curate_corpus,
+    "w1_detect_wide": g_w1_detect_wide,
     "h4_h8_detect": g_h4_h8_detect,
     "q1_perplexity": g_q1_perplexity,
     "t2_ngram_counts": g_t2_ngram_counts,
