@@ -14,7 +14,7 @@ contract at a larger scale factor with FULL value comparison —
 
 Canonicalization matches tests/test_entry_contract.py (strict float
 repr — queries already round in both dialects).  Writes
-BENCH/validate_sf01_r6.json.  Run alone (no concurrent Spark);
+BENCH/$VALIDATE_OUT (default validate_sf01_r7.json).  Run alone (no concurrent Spark);
 ~10 min at sf0.1.
 """
 
@@ -124,7 +124,9 @@ def main():
     out = {"sf_dir": SF_DIR, "cores": CPUS,
            "n_queries": len(results), "n_fail": n_fail,
            "queries": results}
-    with open(os.path.join(REPO, "BENCH", "validate_sf01_r6.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH",
+                           os.environ.get("VALIDATE_OUT",
+                                          "validate_sf01_r7.json")), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"n_queries": len(results), "n_fail": n_fail}))
 
