@@ -1,0 +1,182 @@
+"""Code-repository table operators (SURVEY.md §2 rows d10/q9/q10/d11).
+
+The north-rule input is an Iceberg table of source-code repositories
+with columns (repo, path, commit, lang, content) (BASELINE.json
+input_hint).  These operators cover the repo-table curation steps a
+code-corpus pipeline runs BEFORE the per-document quality filter:
+
+* ``latest_snapshot``        — d10: collapse the commit history to one
+                               row per (repo, path), survivor = max
+                               commit (content-addressed hashes have no
+                               global order, so lexicographic max is the
+                               deterministic stand-in when no commit
+                               timestamp column exists — documented).
+* ``license_scan``           — q9: frozen-order license-header
+                               classification + permissive flag.
+* ``secret_scrub``           — q10: frozen-order redaction of embedded
+                               credentials (private-key blocks, GitHub /
+                               Slack tokens, JWTs, quoted cred
+                               assignments) — the code-specific sibling
+                               of quality.PII_RULES, kept SEPARATE so
+                               the frozen Q5 spec (goldens) is untouched.
+* ``strip_boilerplate_lines``— d11: corpus-level duplicate-line removal
+                               (license boilerplate, generated headers):
+                               any space-trimmed non-blank line occurring
+                               in >= min_docs DISTINCT documents is
+                               dropped from every document.
+
+Cross-dialect regex discipline (same trap class as ws_tokens' ``\\s``
+note in textstats.py): every pattern below is written in the common
+subset of Java regex (Spark), RE2 (DuckDB oracle) and Python ``re``
+(pure oracle) — explicit ``[ \\t\\n\\f\\r]`` classes instead of ``\\s``
+(Java's includes U+000B, RE2's does not), ``[\\s\\S]`` only as the
+any-char union (identical in all three by construction), no
+backreferences (RE2 has none), no capture groups in replacements
+(Spark spells them ``$1``, DuckDB ``\\1`` — unusable cross-engine).
+``\\b``/``\\w`` are ASCII-identical in Java and RE2; Python compiles
+them Unicode-wide, so the pure-oracle parity contract is stated over
+ASCII-adjacent token boundaries (the rules' own anchors are all ASCII).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# --- q9: license rules — ORDER IS FROZEN (first match wins) ----------------
+# Each pattern ORs the SPDX tag with the classic header phrase so one
+# scan classifies both modern and legacy headers.
+LICENSE_RULES: list[tuple[str, str]] = [
+    ("apache-2.0", r"(?i)spdx-license-identifier:[ \t]*apache-2\.0"
+                   r"|licensed under the apache license"
+                   r"|apache license,? version 2\.0"),
+    ("mit", r"(?i)spdx-license-identifier:[ \t]*mit\b"
+            r"|mit license"
+            r"|permission is hereby granted, free of charge"),
+    ("gpl-3.0", r"(?i)spdx-license-identifier:[ \t]*gpl-3\.0"
+                r"|gnu general public license"),
+    ("bsd-3-clause", r"(?i)spdx-license-identifier:[ \t]*bsd-3-clause"
+                     r"|redistribution and use in source and binary forms"),
+    ("mpl-2.0", r"(?i)spdx-license-identifier:[ \t]*mpl-2\.0"
+                r"|mozilla public license"),
+    ("unlicense", r"(?i)this is free and unencumbered software released"
+                  r" into the public domain"),
+]
+LICENSE_UNKNOWN = "unknown"
+PERMISSIVE_LICENSES = frozenset({"apache-2.0", "mit", "bsd-3-clause",
+                                 "unlicense"})
+
+# --- q10: secret-redaction rules — ORDER IS FROZEN (applied top down) ------
+# Private-key blocks first: their body could otherwise feed later rules.
+SECRET_RULES: list[tuple[str, str]] = [
+    (r"-----BEGIN [A-Z ]*PRIVATE KEY-----[\s\S]*?"
+     r"-----END [A-Z ]*PRIVATE KEY-----", "<PRIVATE_KEY>"),
+    (r"\bgh[pousr]_[A-Za-z0-9]{36}\b", "<GH_TOKEN>"),
+    (r"\bxox[baprs]-[A-Za-z0-9-]{10,48}\b", "<SLACK_TOKEN>"),
+    (r"\beyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}\b",
+     "<JWT>"),
+    (r"""(?i)\b(?:api[_-]?key|access[_-]?token|secret|passwd|password)\b"""
+     r"""[ \t]*[:=][ \t]*['"][^'"\n]{8,}['"]""", "<CRED>"),
+]
+
+
+def latest_snapshot(df: DataFrame, repo_col: str = "repo",
+                    path_col: str = "path",
+                    commit_col: str = "commit") -> DataFrame:
+    """d10: one row per (repo, path) — the file's latest snapshot.
+
+    Survivor = lexicographic MAX of ``commit_col``: commit hashes are
+    content-addressed, so with no timestamp column in the input_hint
+    schema this is the deterministic total order available (a caller
+    with a commit_time column should pass it as ``commit_col``).
+    Duplicate (repo, path, commit) rows tie — survivor among byte-equal
+    rows is then arbitrary but value-identical.
+
+    Scale shape: ONE shuffle, keyed (repo, path) — window row_number,
+    no self-join.  The key carries file-level granularity, so even a
+    monorepo with 10^7 files spreads over reducers; no per-repo hot key.
+    """
+    w = Window.partitionBy(repo_col, path_col).orderBy(
+        F.col(commit_col).desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def license_scan(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """q9: frozen-order license classification over the file header.
+
+    Adds ``license`` (first LICENSE_RULES match, else 'unknown') and
+    ``permissive`` (membership in PERMISSIVE_LICENSES).  Pure JVM rlike
+    chain — map-only, whole-stage-codegen, no shuffle.
+    """
+    lic = None
+    for lic_id, pat in LICENSE_RULES:
+        cond = F.col(content_col).rlike(pat)
+        lic = F.when(cond, F.lit(lic_id)) if lic is None \
+            else lic.when(cond, F.lit(lic_id))
+    lic = lic.otherwise(F.lit(LICENSE_UNKNOWN))
+    out = df.withColumn("license", lic)
+    return out.withColumn(
+        "permissive", F.col("license").isin(*sorted(PERMISSIVE_LICENSES)))
+
+
+def secret_scrub(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """q10: redact embedded credentials, frozen rule order.
+
+    Adds ``scrubbed`` (content after the SECRET_RULES chain) and
+    ``has_secret`` (scrubbed != content).  Chained JVM regexp_replace —
+    map-only, no Python, no shuffle.
+    """
+    col = F.col(content_col)
+    for pat, repl in SECRET_RULES:
+        col = F.regexp_replace(col, pat, repl)
+    out = df.withColumn("scrubbed", col)
+    return out.withColumn(
+        "has_secret", F.col("scrubbed") != F.col(content_col))
+
+
+def strip_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
+                            content_col: str = "content",
+                            min_docs: int = 50) -> DataFrame:
+    """d11: corpus-level duplicate-line removal (boilerplate stripping).
+
+    A line whose space-trimmed form is non-blank and occurs in
+    >= ``min_docs`` DISTINCT documents is dropped from every document
+    (license boilerplate, generated-file headers, copy-pasted prologues
+    — the code-corpus analogue of CCNet's paragraph-level dedup).
+    Blank lines are never counted or dropped.  Returns one row per
+    input document: (id_col, clean_content, n_removed), with surviving
+    lines rejoined in original order; a fully-boilerplate document
+    yields clean_content = ''.
+
+    Scale shape (documented shuffle budget, 3 keyed exchanges):
+      1. distinct (trimmed-line, id) pairs — shuffle on the pair; the
+         map-side combiner collapses within-document repeats, so a hot
+         boilerplate line contributes one pair per (doc, partition).
+      2. count per line — shuffle on the line key with partial counts
+         (hot lines pre-aggregated map-side, no single-reducer pileup).
+      3. left join lines <- frequent set on the trimmed line.  The
+         frequent set is tiny by construction (lines crossing the
+         min_docs bar), so AQE plans it broadcast at any realistic
+         scale; reassembly then shuffles (id) once for the groupBy.
+    Only (line, id) pairs and line text travel — never whole documents
+    — until the final per-document concat.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(content_col), "\n")).alias("pos", "line"))
+    key = F.trim(F.col("line"))
+    frequent = (lines.where(key != "")
+                .select(key.alias("lk"), F.col(id_col)).distinct()
+                .groupBy("lk").agg(F.count("*").alias("n_docs"))
+                .where(F.col("n_docs") >= min_docs)
+                .select("lk"))
+    flagged = (lines.join(frequent, key == F.col("lk"), "left")
+               .withColumn("dropped", F.col("lk").isNotNull()))
+    kept_struct = F.when(~F.col("dropped"),
+                         F.struct(F.col("pos"), F.col("line")))
+    return (flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["line"]),
+            "\n").alias("clean_content"),
+        F.sum(F.col("dropped").cast("long")).alias("n_removed")))

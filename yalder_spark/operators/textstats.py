@@ -151,6 +151,36 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+# x11: comment-line prefixes — FROZEN list (shared verbatim with the
+# DuckDB oracle; anchored-prefix regex, identical in Java/RE2/Python)
+COMMENT_PREFIX_PATTERN = r"^(#|//|--|;|/\*|\*)"
+
+
+def comment_stats(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """x11 — code-structure stats for the repo-table quality filter:
+    comment-line and blank-line counts/ratios.  A comment line is one
+    whose space-left-trimmed form starts with a COMMENT_PREFIX_PATTERN
+    marker; a blank line space-trims to ''.  All JVM higher-order
+    functions over one split — map-only, shuffle-free (``ltrim``/
+    ``trim`` are space-only in BOTH Spark and DuckDB, so the oracle
+    pair cannot diverge on tab-indented lines)."""
+    lines = F.split(F.col(text_col), "\n")
+    n = F.size(lines).cast("long")
+    n_comment = F.size(F.filter(
+        lines, lambda l: F.ltrim(l).rlike(COMMENT_PREFIX_PATTERN))
+    ).cast("long")
+    n_blank = F.size(F.filter(lines, lambda l: F.trim(l) == "")).cast("long")
+    return df.select(
+        id_col,
+        n.alias("n_lines"),
+        n_comment.alias("n_comment"),
+        n_blank.alias("n_blank"),
+        F.round(n_comment / n, 6).alias("comment_ratio"),
+        F.round(n_blank / n, 6).alias("blank_ratio"),
+    )
+
+
 WINNOW_WINDOW = 8
 
 
