@@ -82,9 +82,35 @@ def main() -> None:
                          "shard copied in with a preserved old mtime "
                          "(rsync -a) is silently age-skipped regardless "
                          "of compaction (see SCALE.md)")
+    ap.add_argument("--latest-only", action="store_true",
+                    help="repo-table pre-stage: collapse the commit "
+                         "history to one row per (repo, path) before "
+                         "filtering (survivor = max commit)")
+    ap.add_argument("--strip-boilerplate", type=int, default=None,
+                    metavar="MIN_DOCS",
+                    help="repo-table pre-stage: drop every trimmed "
+                         "non-blank line occurring in >= MIN_DOCS "
+                         "distinct documents (corpus-level boilerplate "
+                         "removal) before filtering")
+    ap.add_argument("--scrub-secrets", action="store_true",
+                    help="repo-table pre-stage: redact embedded "
+                         "credentials (private keys, gh/slack tokens, "
+                         "JWTs, quoted cred assignments) before "
+                         "filtering")
     args = ap.parse_args()
 
     # arg-vs-arg validation BEFORE the (expensive) JVM spin-up
+    if args.streaming and (args.latest_only or args.scrub_secrets
+                           or args.strip_boilerplate is not None):
+        # latest-snapshot and boilerplate removal are GLOBAL aggregates
+        # over the whole corpus — an incremental drain sees only the
+        # newly-landed shards, so running them per-microbatch would
+        # silently compute different (wrong) answers; scrub-secrets is
+        # map-only but is kept batch-only so one flag set means one
+        # pipeline shape
+        ap.error("--latest-only/--strip-boilerplate/--scrub-secrets "
+                 "are batch-only pre-stages (they aggregate over the "
+                 "full corpus); remove them when using --streaming")
     if args.streaming and args.input_format != "parquet":
         # iceberg readStream exists in production but needs the
         # runtime jar this sandbox lacks (same seam as io.read_source)
@@ -140,7 +166,10 @@ def main() -> None:
                             args.ppl_model,
                             n_buckets=args.buckets if args.buckets is not None
                             else 256,
-                            input_format=args.input_format)
+                            input_format=args.input_format,
+                            latest_only=args.latest_only,
+                            strip_boilerplate_min_docs=args.strip_boilerplate,
+                            scrub_secrets=args.scrub_secrets)
         n = sum(m["n_in"] for m in report["metrics"])
         keep = sum(m["n_keep"] for m in report["metrics"])
         print(f"run {report['run_id']}: "

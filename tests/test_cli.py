@@ -124,6 +124,10 @@ def test_run_filter_cli_rejects_conflicting_flags(tmp_path):
         ["--streaming", "--buckets", "8"],
         ["--streaming", "--buckets", "256"],  # explicit default too
         ["--streaming", "--input-format", "iceberg"],
+        # repo-table pre-stages are global aggregates -> batch-only
+        ["--streaming", "--latest-only"],
+        ["--streaming", "--strip-boilerplate", "50"],
+        ["--streaming", "--scrub-secrets"],
     ):
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts", "run_filter.py"),
@@ -132,6 +136,56 @@ def test_run_filter_cli_rejects_conflicting_flags(tmp_path):
             capture_output=True, text=True, timeout=60)
         assert proc.returncode == 2, (extra, proc.stderr[-500:])
         assert "usage:" in proc.stderr
+
+
+def test_run_filter_cli_prepare_stages(tmp_path):
+    """The repo-table pre-stages (d10/d11/q10) are reachable from the
+    ship-path CLI: --latest-only collapses a planted re-commit,
+    --strip-boilerplate drops the planted common header corpus-wide,
+    --scrub-secrets redacts a planted token — all visible in the
+    committed output, and the lineage record names the pre-stages."""
+    from yalder_spark.fixtures.gen import gen_repos, repos_input
+
+    pdf = repos_input(gen_repos(200, 43))
+    # re-commit 10 files: same (repo, path), lexicographically-later
+    # commit, recognizable content
+    re_c = pdf.head(10).copy()
+    re_c["commit"] = "f" * 40
+    re_c["content"] = "RECOMMIT " + re_c["content"]
+    pdf = pd.concat([pdf, re_c], ignore_index=True)
+    pdf["content"] = "// COMMON GENERATED HEADER\n" + pdf["content"].fillna("")
+    # plant the token on rows 20-27: NOT re-committed, so the planted
+    # rows survive --latest-only and the token must reach the scrubber
+    pdf.loc[20:27, "content"] = (
+        "ghp_" + "a1" * 18 + "\n" + pdf.loc[20:27, "content"])
+    inp = str(tmp_path / "input.parquet")
+    pdf.to_parquet(inp)
+
+    out = str(tmp_path / "out")
+    stdout = _run_cli(
+        "run_filter.py", "--input", inp, "--output", out,
+        "--model", MODEL, "--ppl-model", PPL,
+        "--buckets", "2", "--master", "local[4]",
+        "--shuffle-partitions", "4", "--latest-only",
+        "--strip-boilerplate", "20", "--scrub-secrets")
+    report = json.loads(stdout.strip().splitlines()[-1])
+    assert report["prepare"] == {"latest_only": True,
+                                 "strip_boilerplate_min_docs": 20,
+                                 "scrub_secrets": True}
+    got = pd.read_parquet(
+        out, columns=["repo", "path", "commit", "scrubbed_text"])
+    assert len(got) == 200                       # re-commits collapsed
+    n_re = (got["commit"] == "f" * 40).sum()
+    assert n_re == 10                            # the later commit won
+    joined = "\n".join(got["scrubbed_text"].fillna(""))
+    assert "// COMMON GENERATED HEADER" not in joined
+    assert "ghp_a1" not in joined
+    assert "<GH_TOKEN>" in joined
+    # prepare config persisted in the lineage record
+    runs = [f for f in os.listdir(os.path.join(out, "_runs"))
+            if f.endswith(".json")]
+    persisted = json.load(open(os.path.join(out, "_runs", runs[0])))
+    assert persisted["prepare"]["strip_boilerplate_min_docs"] == 20
 
 
 def test_run_curate_cli_resumable(cli_input, tmp_path):

@@ -351,3 +351,52 @@ def test_curate_star_cc_matches_label_cc(spark, repos_pdf):
     ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
     assert ids_a == ids_b and len(ids_a) > 0
     assert sa == sb
+
+
+def test_prepare_repo_table_composition(spark, repos_pdf):
+    """The d10 -> d11 -> q10 pre-stage: stale commits dropped first,
+    the corpus-wide header line stripped, planted token redacted —
+    output schema identical to the input, stats accurate, and a second
+    pass over its own output is a no-op (idempotence)."""
+    import pandas as pd
+
+    from yalder_spark.pipeline import prepare_repo_table
+
+    pdf = repos_input(repos_pdf).head(60).copy().reset_index(drop=True)
+    pdf["content"] = "// GENERATED HEADER\n" + pdf["content"].fillna("")
+    pdf.loc[5:9, "content"] = ("ghp_" + "b2" * 18 + "\n"
+                               + pdf.loc[5:9, "content"])
+    stale = pdf.head(8).copy()
+    stale["commit"] = "0" * 40          # lexicographically smallest: loses
+    stale["content"] = "stale content"
+    multi = spark.createDataFrame(
+        pd.concat([pdf, stale], ignore_index=True))
+
+    out, stats = prepare_repo_table(
+        multi, latest_only=True, strip_boilerplate_min_docs=10,
+        scrub_secrets=True, count_stats=True)
+    assert out.columns == multi.columns          # schema contract
+    rows = out.collect()
+    assert len(rows) == 60
+    assert stats["n_in"] == 68
+    assert stats["n_stale_commits_removed"] == 8
+    # >= 60: the planted header in every doc, PLUS whatever generated
+    # code lines naturally cross the min_docs bar (measured: the repos
+    # fixture's compute-method boilerplate does — which is the point
+    # of the operator)
+    assert stats["n_boilerplate_lines_removed"] >= 60
+    assert stats["n_docs_with_secrets"] == 5
+    blob = "\n".join((r["content"] or "") for r in rows)
+    assert "// GENERATED HEADER" not in blob
+    assert "ghp_b2" not in blob and "<GH_TOKEN>" in blob
+    assert "stale content" not in blob           # d10 ran FIRST
+
+    again, stats2 = prepare_repo_table(
+        out, latest_only=True, strip_boilerplate_min_docs=10,
+        scrub_secrets=True, count_stats=True)
+    assert stats2["n_stale_commits_removed"] == 0
+    assert stats2["n_boilerplate_lines_removed"] == 0
+    assert stats2["n_docs_with_secrets"] == 0
+    a = sorted(map(tuple, rows))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b                                 # idempotent

@@ -164,6 +164,25 @@ def test_strip_boilerplate_matches_pure_and_edges(spark):
     assert got[1][1] == 0
 
 
+def test_null_content_never_drops_rows(spark):
+    """NULL content: strip_boilerplate normalizes to '' (posexplode of
+    a NULL array would silently LOSE the document), secret_scrub keeps
+    the row with has_secret=FALSE (not three-valued NULL)."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, content=None), Row(doc_id=2, content="x")],
+        "doc_id long, content string")
+    stripped = {r["doc_id"]: (r["clean_content"], r["n_removed"])
+                for r in strip_boilerplate_lines(
+                    df, "doc_id", "content", min_docs=2).collect()}
+    assert stripped == {1: ("", 0), 2: ("x", 0)}
+    scrubbed = {r["doc_id"]: (r["scrubbed"], r["has_secret"])
+                for r in secret_scrub(df).collect()}
+    assert scrubbed == {1: (None, False), 2: ("x", False)}
+    lic = {r["doc_id"]: r["license"]
+           for r in license_scan(df).collect()}
+    assert lic == {1: LICENSE_UNKNOWN, 2: LICENSE_UNKNOWN}
+
+
 def test_comment_stats_values(spark):
     docs = {
         0: "# a\n// b\n-- c\n; d\n/* e */\n* f\ncode",

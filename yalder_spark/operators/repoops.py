@@ -122,16 +122,19 @@ def license_scan(df: DataFrame, content_col: str = "content") -> DataFrame:
 def secret_scrub(df: DataFrame, content_col: str = "content") -> DataFrame:
     """q10: redact embedded credentials, frozen rule order.
 
-    Adds ``scrubbed`` (content after the SECRET_RULES chain) and
-    ``has_secret`` (scrubbed != content).  Chained JVM regexp_replace —
-    map-only, no Python, no shuffle.
+    Adds ``scrubbed`` (content after the SECRET_RULES chain; NULL
+    passes through as NULL) and ``has_secret`` (scrubbed != content,
+    FALSE — not NULL — for NULL content, so downstream filters never
+    silently drop the row on a three-valued comparison).  Chained JVM
+    regexp_replace — map-only, no Python, no shuffle.
     """
     col = F.col(content_col)
     for pat, repl in SECRET_RULES:
         col = F.regexp_replace(col, pat, repl)
     out = df.withColumn("scrubbed", col)
     return out.withColumn(
-        "has_secret", F.col("scrubbed") != F.col(content_col))
+        "has_secret",
+        F.coalesce(F.col("scrubbed") != F.col(content_col), F.lit(False)))
 
 
 def strip_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
@@ -161,9 +164,13 @@ def strip_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
     Only (line, id) pairs and line text travel — never whole documents
     — until the final per-document concat.
     """
+    # NULL content normalizes to '' (same contract as quality_filter):
+    # posexplode of a NULL array would otherwise DROP the row entirely
+    # — a silent document loss, not a cleaning
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(content_col), "\n")).alias("pos", "line"))
+        F.posexplode(F.split(F.coalesce(F.col(content_col), F.lit("")),
+                             "\n")).alias("pos", "line"))
     key = F.trim(F.col("line"))
     frequent = (lines.where(key != "")
                 .select(key.alias("lk"), F.col(id_col)).distinct()

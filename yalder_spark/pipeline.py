@@ -56,6 +56,64 @@ def build_session(app: str = "yalder-pipeline", master: str | None = None,
     return b.getOrCreate()
 
 
+def prepare_repo_table(df: DataFrame, latest_only: bool = True,
+                       strip_boilerplate_min_docs: int | None = None,
+                       scrub_secrets: bool = False,
+                       content_col: str = "content",
+                       count_stats: bool = True) -> tuple[DataFrame, dict]:
+    """Repo-granularity pre-stage (SURVEY §2.F) a code corpus runs
+    BEFORE `curate_corpus` / the filter job — applied in frozen order::
+
+        latest_snapshot (d10)  — drop stale commits first, so the later
+                                 stages never pay for history
+          -> strip_boilerplate_lines (d11, when min_docs given) —
+                                 corpus-level duplicate-line removal
+          -> secret_scrub (q10, when enabled) — credential redaction
+
+    Returns (DataFrame with the INPUT schema — content replaced by the
+    cleaned/scrubbed text — and a stage-stats dict).  Scale shape: d10
+    is one (repo, path) shuffle; d11's reassembly leaves its output
+    hash-partitioned by the doc key, so the metadata join-back reuses
+    that exchange and only the (small) metadata side shuffles; q10 is
+    map-only.  ``count_stats=False`` (production) skips the extra
+    counting passes — the filter job's bucket metrics report the
+    post-prepare row counts anyway."""
+    from yalder_spark.operators.repoops import (
+        latest_snapshot, secret_scrub, strip_boilerplate_lines)
+
+    in_cols = df.columns
+    stats: dict = {}
+    out = df
+    if latest_only:
+        if count_stats:
+            stats["n_in"] = out.count()
+        out = latest_snapshot(out)
+        if count_stats:
+            n_latest = out.count()
+            stats["n_stale_commits_removed"] = stats["n_in"] - n_latest
+    if strip_boilerplate_min_docs:
+        keyed = out.withColumn(
+            "_rid", F.xxhash64("repo", "path", "commit"))
+        cleaned = strip_boilerplate_lines(
+            keyed, "_rid", content_col,
+            min_docs=strip_boilerplate_min_docs)
+        out = (keyed.drop(content_col)
+               .join(cleaned, "_rid")
+               .withColumnRenamed("clean_content", content_col))
+        if count_stats:
+            stats["n_boilerplate_lines_removed"] = (
+                out.agg(F.sum("n_removed")).first()[0] or 0)
+        out = out.drop("n_removed", "_rid")
+    if scrub_secrets:
+        scrubbed = secret_scrub(out, content_col)
+        if count_stats:
+            stats["n_docs_with_secrets"] = scrubbed.agg(
+                F.sum(F.col("has_secret").cast("long"))).first()[0] or 0
+        out = (scrubbed.drop(content_col, "has_secret")
+               .withColumnRenamed("scrubbed", content_col))
+    return out.select(*in_cols), stats
+
+
 def curate_corpus(df: DataFrame, model: LanguageModel,
                   ppl_model: LanguageModel,
                   config: FilterConfig | None = None,
@@ -211,12 +269,37 @@ def run_filter(spark: SparkSession, input_path: str, output_path: str,
                model: LanguageModel | str, ppl_model: LanguageModel | str,
                config: FilterConfig | None = None,
                n_buckets: int = DEFAULT_BUCKETS,
-               input_format: str = "parquet") -> dict:
+               input_format: str = "parquet",
+               latest_only: bool = False,
+               strip_boilerplate_min_docs: int | None = None,
+               scrub_secrets: bool = False) -> dict:
     """Run (or resume) the filter job.  Returns the run report dict
-    (also persisted as ``<output>/_runs/<run_id>.json``)."""
+    (also persisted as ``<output>/_runs/<run_id>.json``).
+
+    The optional repo-table pre-stage (`prepare_repo_table`) runs
+    between scan and filter; like `_dedup_survivors` on the curation
+    path it is global and deterministic, so a resume simply recomputes
+    it and the committed-bucket anti-join still guarantees each bucket
+    is written once (``count_stats=False`` — the bucket metrics already
+    report the post-prepare counts)."""
     src = yio.read_source(spark, input_path, input_format)
+    prepared = latest_only or strip_boilerplate_min_docs or scrub_secrets
+    if prepared:
+        src, _ = prepare_repo_table(
+            src, latest_only=latest_only,
+            strip_boilerplate_min_docs=strip_boilerplate_min_docs,
+            scrub_secrets=scrub_secrets, count_stats=False)
+    extra = None
+    if prepared:
+        # into the lineage record, so the persisted _runs/<id>.json
+        # states which pre-stages shaped the committed output
+        extra = {"prepare": {"latest_only": latest_only,
+                             "strip_boilerplate_min_docs":
+                                 strip_boilerplate_min_docs,
+                             "scrub_secrets": scrub_secrets}}
     return _filter_and_commit(spark, src, input_path, output_path,
-                              model, ppl_model, config, n_buckets)
+                              model, ppl_model, config, n_buckets,
+                              extra_lineage=extra)
 
 
 def run_curate_resumable(spark: SparkSession, input_path: str,
@@ -258,7 +341,8 @@ def _filter_and_commit(spark: SparkSession, src: DataFrame,
                        model: LanguageModel | str,
                        ppl_model: LanguageModel | str,
                        config: FilterConfig | None,
-                       n_buckets: int) -> dict:
+                       n_buckets: int,
+                       extra_lineage: dict | None = None) -> dict:
     """Shared tail of the batch jobs: bucket, skip committed, fused
     filter, staged atomic write, metrics + lineage report."""
     if isinstance(model, str):
@@ -292,6 +376,8 @@ def _filter_and_commit(spark: SparkSession, src: DataFrame,
                     "max_mean_line_len", "min_alpha_ratio")},
         "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(),
     }
+    if extra_lineage:
+        lineage.update(extra_lineage)
     committed = yio.write_buckets(filtered, output_path, lineage,
                                   n_buckets=n_buckets)
 
