@@ -1,0 +1,189 @@
+"""Scale probe for d11 `strip_boilerplate_lines` (round 7, SURVEY §2.F).
+
+The operator's shuffle budget (distinct pairs -> per-line counts ->
+frequent-set join -> per-doc reassembly) is documented in SCALE.md; this
+probe measures it at 100k / 300k / 1M docs x 29 lines (29M exploded
+lines at the top size) looking for a superlinear stage, and doubles as a
+scale-correctness check: the workload is constructed so EXACTLY 12
+lines per doc are removable at every size, and `sum(n_removed) == 12n`
+is asserted per point.
+
+Input synthesized distributedly and deterministically (no driver-side
+generation, no RNG), per doc:
+  - 10 global header lines (identical in EVERY doc -> removed),
+  - 15 per-doc unique sha2 lines (-> kept),
+  -  2 lines shared by exactly 100 docs (>= min_docs=50 -> removed),
+  -  2 lines shared by exactly 10 docs  (< 50 -> kept).
+All frequencies are scale-invariant by construction, so every stage's
+output grows linearly in n and superlinear WALL growth is the
+algorithm's fault, not the workload's.
+
+Stages timed (min-of-2, fresh subprocess JVM per size, untimed 50k
+warm-up — CLAUDE.md measurement discipline):
+  - freq_set: the frequent-line relation alone (mirrors the operator's
+    stages 1-2: distinct pairs + counted keys);
+  - full_strip: the whole operator forced through
+    sum(length(clean_content)) + sum(n_removed) so no column is pruned.
+Also records whether AQE planned the frequent-set join broadcast in the
+final adaptive plan (it must — the set is 12 lines here).
+
+Run alone — no concurrent Spark/pytest.  Writes BENCH/$BOILER_OUT
+(default round7_boilerplate.json).
+"""
+
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SIZES = (100_000, 300_000, 1_000_000)
+MIN_DOCS = 50
+CHILD_TIMEOUT = 1800
+
+
+def synth_docs(spark, n: int):
+    from pyspark.sql import functions as F
+
+    ids = spark.range(n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("doc_id"))
+    parts = [F.lit(f"// global header boilerplate line {j}")
+             for j in range(10)]
+    for j in range(15):
+        parts.append(F.sha2(
+            F.concat_ws("-", F.col("doc_id").cast("string"),
+                        F.lit(f"u{j}"), F.lit("r7probe")), 256).substr(1, 28))
+    for j in range(2):  # shared by exactly 100 docs -> removed
+        parts.append(F.concat(
+            F.lit(f"mid100 block {j} g"),
+            (F.col("doc_id") / 100).cast("long").cast("string")))
+    for j in range(2):  # shared by exactly 10 docs -> kept
+        parts.append(F.concat(
+            F.lit(f"mid10 block {j} g"),
+            (F.col("doc_id") / 10).cast("long").cast("string")))
+    return ids.select("doc_id", F.concat_ws("\n", *parts).alias("content"))
+
+
+def child(n: int) -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from yalder_spark.operators.repoops import strip_boilerplate_lines
+
+    spark = (SparkSession.builder.appName(f"boiler-{n}")
+             .master(f"local[{CPUS}]")
+             .config("spark.driver.memory", "48g")
+             .config("spark.sql.shuffle.partitions", str(CPUS * 2))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+
+    # untimed warm-up at 50k (JVM/codegen cold-start absorbed here)
+    w = strip_boilerplate_lines(synth_docs(spark, 50_000),
+                                "doc_id", "content", MIN_DOCS)
+    w.agg(F.sum("n_removed")).collect()
+
+    def one_pass():
+        stages = {}
+        docs = synth_docs(spark, n)
+
+        t0 = time.monotonic()
+        key = F.trim(F.col("line"))
+        lines = docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.coalesce(F.col("content"), F.lit("")),
+                                 "\n")).alias("pos", "line"))
+        n_freq = (lines.where(key != "")
+                  .select(key.alias("lk"), "doc_id").distinct()
+                  .groupBy("lk").count()
+                  .where(F.col("count") >= MIN_DOCS).count())
+        stages["freq_set"] = round(time.monotonic() - t0, 2)
+
+        t0 = time.monotonic()
+        res = strip_boilerplate_lines(docs, "doc_id", "content", MIN_DOCS)
+        q = res.agg(F.sum("n_removed").alias("nr"),
+                    F.sum(F.length("clean_content")).alias("len"),
+                    F.count("*").alias("rows"))
+        row = q.collect()[0]
+        stages["full_strip"] = round(time.monotonic() - t0, 2)
+
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        bcast = "BroadcastHashJoin" in plan
+        assert row["rows"] == n, row
+        assert row["nr"] == 12 * n, (
+            f"expected exactly 12 removable lines/doc: {row}")
+        counts = {"n_frequent_lines": n_freq, "n_removed": row["nr"],
+                  "clean_chars": row["len"]}
+        print(f"  n={n} {stages} freq={n_freq} bcast={bcast}",
+              file=sys.stderr, flush=True)
+        return stages, counts, bcast
+
+    passes = [one_pass() for _ in range(2)]
+    if passes[0][1] != passes[1][1]:
+        raise RuntimeError(f"pass counts diverged: {passes[0][1]} vs "
+                           f"{passes[1][1]}")
+    stages = {k: min(p[0][k] for p in passes) for k in passes[0][0]}
+    print("RESULT " + json.dumps({
+        "n_docs": n, "n_lines": 29 * n, "stages_sec": stages,
+        "counts": passes[0][1],
+        "frequent_join_broadcast": passes[0][2] and passes[1][2],
+        "protocol": "min-of-2 per stage",
+        "docs_per_sec": round(n / stages["full_strip"], 1),
+        "lines_per_sec": round(29 * n / stages["full_strip"], 1),
+    }), flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    results = []
+    for n in SIZES:
+        env = dict(os.environ, BOILER_POINT=str(n), PYTHONPATH=REPO)
+        try:
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, capture_output=True, text=True,
+                                  timeout=CHILD_TIMEOUT)
+        except subprocess.TimeoutExpired:
+            results.append({"n_docs": n, "error": f"timeout>{CHILD_TIMEOUT}s"})
+            print(f"point {n} TIMED OUT", flush=True)
+            continue
+        sys.stderr.write(proc.stderr[-2000:])
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("RESULT ")), None)
+        if proc.returncode != 0 or line is None:
+            results.append({"n_docs": n, "error": f"rc={proc.returncode}"})
+            print(f"point {n} FAILED rc={proc.returncode}", flush=True)
+            continue
+        results.append(json.loads(line[len("RESULT "):]))
+        print(results[-1], flush=True)
+
+    ok = [r for r in results if "error" not in r]
+    scaling = {}
+    if len(ok) >= 2:
+        lo, hi = ok[0], ok[-1]
+        ratio_n = hi["n_docs"] / lo["n_docs"]
+        for st in hi["stages_sec"]:
+            r = hi["stages_sec"][st] / max(lo["stages_sec"][st], 0.01)
+            scaling[st] = {"wall_ratio": round(r, 2),
+                           "exponent": round(math.log(r)
+                                             / math.log(ratio_n), 2)}
+    out = {"cores": CPUS, "min_docs": MIN_DOCS, "sizes": list(SIZES),
+           "points": results, "scaling_lo_to_hi": scaling}
+    dest = os.path.join(REPO, "BENCH",
+                        os.environ.get("BOILER_OUT",
+                                       "round7_boilerplate.json"))
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {dest}", flush=True)
+
+
+if __name__ == "__main__":
+    if os.environ.get("BOILER_POINT"):
+        child(int(os.environ["BOILER_POINT"]))
+    else:
+        main()
