@@ -25,7 +25,11 @@ warm-up — CLAUDE.md measurement discipline):
   - full_strip: the whole operator forced through
     sum(length(clean_content)) + sum(n_removed) so no column is pruned.
 Also records whether AQE planned the frequent-set join broadcast in the
-final adaptive plan (it must — the set is 12 lines here).
+final adaptive plan.  The frequent set here is 10 + 2*(n/100) lines
+(2,010 at 100k docs, 20,010 at 1M — NOT the 12 removable lines PER DOC,
+a different invariant); measured: AQE broadcasts at the smaller sets
+and falls back to sort-merge at 20k lines with no wall penalty, so the
+flag is recorded, not asserted.
 
 Run alone — no concurrent Spark/pytest.  Writes BENCH/$BOILER_OUT
 (default round7_boilerplate.json).

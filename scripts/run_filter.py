@@ -111,6 +111,17 @@ def main() -> None:
         ap.error("--latest-only/--strip-boilerplate/--scrub-secrets "
                  "are batch-only pre-stages (they aggregate over the "
                  "full corpus); remove them when using --streaming")
+    if args.strip_boilerplate is not None and args.strip_boilerplate < 2:
+        # min_docs=1 marks EVERY non-blank line frequent: a green job
+        # that blanks the entire corpus; <=0 is the same with an
+        # always-true filter (defense in depth: the operator re-raises)
+        ap.error("--strip-boilerplate must be >= 2 (a threshold of "
+                 f"{args.strip_boilerplate} would strip every "
+                 "non-blank line in the corpus)")
+    if args.strip_boilerplate is not None and not args.latest_only:
+        ap.error("--strip-boilerplate requires --latest-only: line "
+                 "reassembly needs unique (repo, path) row identities, "
+                 "which the latest-snapshot stage guarantees")
     if args.streaming and args.input_format != "parquet":
         # iceberg readStream exists in production but needs the
         # runtime jar this sandbox lacks (same seam as io.read_source)

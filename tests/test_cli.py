@@ -128,6 +128,10 @@ def test_run_filter_cli_rejects_conflicting_flags(tmp_path):
         ["--streaming", "--latest-only"],
         ["--streaming", "--strip-boilerplate", "50"],
         ["--streaming", "--scrub-secrets"],
+        # corpus-destroying threshold + identity-uniqueness precondition
+        ["--latest-only", "--strip-boilerplate", "1"],
+        ["--latest-only", "--strip-boilerplate", "0"],
+        ["--strip-boilerplate", "50"],
     ):
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts", "run_filter.py"),

@@ -400,3 +400,9 @@ def test_prepare_repo_table_composition(spark, repos_pdf):
     a = sorted(map(tuple, rows))
     b = sorted(map(tuple, again.collect()))
     assert a == b                                 # idempotent
+
+    # boilerplate strip without the snapshot stage: refused — duplicate
+    # row identities would merge documents (review finding)
+    with pytest.raises(ValueError, match="latest_only"):
+        prepare_repo_table(multi, latest_only=False,
+                           strip_boilerplate_min_docs=10)

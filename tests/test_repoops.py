@@ -52,6 +52,11 @@ LICENSE_DOCS = {
     "none": "def f():\n    return 42\n",
     # order check: MIT phrase present but Apache phrase too -> apache wins
     "both": "Licensed under the Apache License; see also the MIT License\n",
+    # review finding: 'submit license' must NOT classify as MIT (the
+    # mit-phrase alternative carries a leading \b)
+    "submit": "To submit license compliance questions, open an issue.\n",
+    "submit_gpl": "SPDX-License-Identifier: GPL-3.0\n"
+                  "To submit license compliance questions, see COPYING.\n",
 }
 
 SECRET_DOCS = {
@@ -78,6 +83,8 @@ def test_license_rules_spark_matches_pure(spark):
         assert got[k] == (lic, lic in PERMISSIVE_LICENSES), k
     assert got["both"][0] == "apache-2.0"     # frozen order: first match wins
     assert got["none"][0] == LICENSE_UNKNOWN
+    assert got["submit"] == (LICENSE_UNKNOWN, False)
+    assert got["submit_gpl"] == ("gpl-3.0", False)
 
 
 def test_secret_rules_spark_matches_pure(spark):
@@ -162,6 +169,31 @@ def test_strip_boilerplate_matches_pure_and_edges(spark):
     assert got[51] == ("\n\nx\n\n", 0)         # blanks exempt
     assert got[0][1] == 1 and got[2][1] == 1   # both spellings dropped
     assert got[1][1] == 0
+
+
+def test_latest_snapshot_commit_tie_breaks_deterministically(spark):
+    """Duplicate (repo, path, commit) with DIFFERENT content (corrupt
+    re-ingest): the survivor is the max sha256(content) — the same on
+    every run, so run_filter's deterministic-resume guarantee holds
+    through this stage."""
+    import hashlib
+
+    rows = [Row(repo="r", path="a", commit="cc", content=c)
+            for c in ("payload one", "payload two", "payload three")]
+    expect = max(rows, key=lambda r: hashlib.sha256(
+        r.content.encode()).hexdigest()).content
+    for _ in range(3):
+        got = latest_snapshot(spark.createDataFrame(rows)).collect()
+        assert len(got) == 1 and got[0]["content"] == expect
+
+
+def test_strip_boilerplate_rejects_destructive_min_docs(spark):
+    """min_docs <= 1 would blank the whole corpus — refused before any
+    plan is built (review finding)."""
+    df = spark.createDataFrame([Row(doc_id=1, content="x")])
+    for bad in (1, 0, -5):
+        with pytest.raises(ValueError, match="min_docs"):
+            strip_boilerplate_lines(df, "doc_id", "content", min_docs=bad)
 
 
 def test_null_content_never_drops_rows(spark):

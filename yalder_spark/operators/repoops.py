@@ -50,7 +50,7 @@ LICENSE_RULES: list[tuple[str, str]] = [
                    r"|licensed under the apache license"
                    r"|apache license,? version 2\.0"),
     ("mit", r"(?i)spdx-license-identifier:[ \t]*mit\b"
-            r"|mit license"
+            r"|\bmit license"  # \b: 'submit/permit/transmit license' is NOT MIT
             r"|permission is hereby granted, free of charge"),
     ("gpl-3.0", r"(?i)spdx-license-identifier:[ \t]*gpl-3\.0"
                 r"|gnu general public license"),
@@ -81,36 +81,51 @@ SECRET_RULES: list[tuple[str, str]] = [
 
 def latest_snapshot(df: DataFrame, repo_col: str = "repo",
                     path_col: str = "path",
-                    commit_col: str = "commit") -> DataFrame:
+                    commit_col: str = "commit",
+                    content_col: str = "content") -> DataFrame:
     """d10: one row per (repo, path) — the file's latest snapshot.
 
     Survivor = lexicographic MAX of ``commit_col``: commit hashes are
     content-addressed, so with no timestamp column in the input_hint
     schema this is the deterministic total order available (a caller
     with a commit_time column should pass it as ``commit_col``).
-    Duplicate (repo, path, commit) rows tie — survivor among byte-equal
-    rows is then arbitrary but value-identical.
+    Ties on commit (duplicate (repo, path, commit) rows) break by
+    sha256(content) DESC, so even a corrupt re-ingest with two
+    different payloads under one commit id resolves the SAME way on
+    every run — run_filter's deterministic-resume guarantee must hold
+    through this stage; only fully byte-equal duplicate rows remain an
+    arbitrary (value-identical) pick.
 
     Scale shape: ONE shuffle, keyed (repo, path) — window row_number,
     no self-join.  The key carries file-level granularity, so even a
     monorepo with 10^7 files spreads over reducers; no per-repo hot key.
     """
     w = Window.partitionBy(repo_col, path_col).orderBy(
-        F.col(commit_col).desc())
+        F.col(commit_col).desc(), F.sha2(F.col(content_col), 256).desc())
     return (df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn"))
 
 
-def license_scan(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """q9: frozen-order license classification over the file header.
+def license_scan(df: DataFrame, content_col: str = "content",
+                 header_chars: int | None = None) -> DataFrame:
+    """q9: frozen-order license classification.
 
     Adds ``license`` (first LICENSE_RULES match, else 'unknown') and
     ``permissive`` (membership in PERMISSIVE_LICENSES).  Pure JVM rlike
     chain — map-only, whole-stage-codegen, no shuffle.
+
+    The FROZEN spec (what the driver oracle mirrors) scans the WHOLE
+    content — a body mention of a license phrase classifies the file.
+    ``header_chars`` bounds the scan to the first N chars for callers
+    who want header-only semantics and not to pay six regex scans over
+    multi-MB files; it changes the result for body-only mentions, so it
+    is opt-in, not the default.
     """
+    scanned = (F.col(content_col) if header_chars is None
+               else F.substring(F.col(content_col), 1, header_chars))
     lic = None
     for lic_id, pat in LICENSE_RULES:
-        cond = F.col(content_col).rlike(pat)
+        cond = scanned.rlike(pat)
         lic = F.when(cond, F.lit(lic_id)) if lic is None \
             else lic.when(cond, F.lit(lic_id))
     lic = lic.otherwise(F.lit(LICENSE_UNKNOWN))
@@ -163,7 +178,19 @@ def strip_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
          scale; reassembly then shuffles (id) once for the groupBy.
     Only (line, id) pairs and line text travel — never whole documents
     — until the final per-document concat.
+
+    ``min_docs`` must be >= 2 (validated BEFORE any plan is built):
+    min_docs<=1 marks every non-blank line frequent and blanks the
+    whole corpus — a green job that destroyed its input.  ``id_col``
+    must identify rows UNIQUELY: duplicate ids merge both rows'
+    exploded lines into one interleaved document (silent corruption;
+    `prepare_repo_table` enforces uniqueness by requiring the
+    latest-snapshot stage first).
     """
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs={min_docs}: thresholds below 2 mark every "
+            "non-blank line 'frequent' and blank the whole corpus")
     # NULL content normalizes to '' (same contract as quality_filter):
     # posexplode of a NULL array would otherwise DROP the row entirely
     # — a silent document loss, not a cleaning

@@ -66,8 +66,10 @@ def prepare_repo_table(df: DataFrame, latest_only: bool = True,
 
         latest_snapshot (d10)  — drop stale commits first, so the later
                                  stages never pay for history
-          -> strip_boilerplate_lines (d11, when min_docs given) —
-                                 corpus-level duplicate-line removal
+          -> strip_boilerplate_lines (d11, when min_docs given;
+                                 REQUIRES latest_only — line reassembly
+                                 groups by (repo, path, commit), which
+                                 only the snapshot stage makes unique)
           -> secret_scrub (q10, when enabled) — credential redaction
 
     Returns (DataFrame with the INPUT schema — content replaced by the
@@ -81,6 +83,15 @@ def prepare_repo_table(df: DataFrame, latest_only: bool = True,
     from yalder_spark.operators.repoops import (
         latest_snapshot, secret_scrub, strip_boilerplate_lines)
 
+    if strip_boilerplate_min_docs is not None and not latest_only:
+        # the strip stage groups exploded lines by document identity;
+        # latest_snapshot is what GUARANTEES one row per (repo, path) —
+        # without it, duplicate-identity rows (routine in re-ingested
+        # corpora) would merge into one interleaved document (review
+        # finding: silent content corruption, not an error)
+        raise ValueError("strip_boilerplate_min_docs requires "
+                         "latest_only=True: line reassembly needs "
+                         "unique (repo, path) row identities")
     in_cols = df.columns
     stats: dict = {}
     out = df
@@ -91,9 +102,12 @@ def prepare_repo_table(df: DataFrame, latest_only: bool = True,
         if count_stats:
             n_latest = out.count()
             stats["n_stale_commits_removed"] = stats["n_in"] - n_latest
-    if strip_boilerplate_min_docs:
+    if strip_boilerplate_min_docs is not None:
+        # the natural composite key, NOT a 64-bit hash: at 10^12 rows a
+        # 64-bit id collides with non-trivial probability and a
+        # collision here MERGES two unrelated documents
         keyed = out.withColumn(
-            "_rid", F.xxhash64("repo", "path", "commit"))
+            "_rid", F.struct("repo", "path", "commit"))
         cleaned = strip_boilerplate_lines(
             keyed, "_rid", content_col,
             min_docs=strip_boilerplate_min_docs)
@@ -283,14 +297,13 @@ def run_filter(spark: SparkSession, input_path: str, output_path: str,
     is written once (``count_stats=False`` — the bucket metrics already
     report the post-prepare counts)."""
     src = yio.read_source(spark, input_path, input_format)
-    prepared = latest_only or strip_boilerplate_min_docs or scrub_secrets
-    if prepared:
+    extra = None
+    if (latest_only or strip_boilerplate_min_docs is not None
+            or scrub_secrets):
         src, _ = prepare_repo_table(
             src, latest_only=latest_only,
             strip_boilerplate_min_docs=strip_boilerplate_min_docs,
             scrub_secrets=scrub_secrets, count_stats=False)
-    extra = None
-    if prepared:
         # into the lineage record, so the persisted _runs/<id>.json
         # states which pre-stages shaped the committed output
         extra = {"prepare": {"latest_only": latest_only,
