@@ -1012,6 +1012,41 @@ def _q_d11_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_boilerplate_lines(planted, "doc_id", "content", min_docs=50)
 
 
+def _q_q11_license_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11: per-license governance report — the question a corpus owner
+    asks before training ('how much of my keep-set is GPL?'): license
+    classification (q9, planted headers) × the SQL-expressible keep
+    heuristic (q7's frozen rule order), rolled up per license.  One
+    groupBy shuffle over 7 tiny groups after two map-only stages."""
+    from yalder_spark.functions.quality import AUTOGEN_PATTERN
+    from yalder_spark.operators.repoops import license_scan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    content = F.col("text")
+    for i, plant in enumerate(_LICENSE_PLANTS):
+        content = F.when(F.col("doc_id") % 7 == i,
+                         F.concat(F.lit(plant + "\n"), F.col("text"))
+                         ).otherwise(content)
+    planted = d.select("doc_id", content.alias("content"))
+    scanned = license_scan(planted)
+    c = F.col("content")
+    nl = F.length(c) - F.length(F.regexp_replace(c, "\n", ""))
+    mean_len = (F.length(c) - nl) / (nl + 1)
+    max_len = F.array_max(F.transform(F.split(c, "\n"),
+                                      lambda x: F.length(x)))
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")) / \
+        F.greatest(F.length(c), F.lit(1))
+    keep_h = ((max_len <= 1000) & (mean_len <= 250.0) & (alpha >= 0.25)
+              & ~c.rlike(AUTOGEN_PATTERN))
+    return (scanned
+            .select("license", "permissive", keep_h.alias("keep_h"))
+            .groupBy("license", "permissive")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("keep_h").cast("long")).alias("n_keep"),
+                 F.round(F.sum(F.col("keep_h").cast("long"))
+                         / F.count("*"), 6).alias("keep_rate")))
+
+
 def _q_x11_comment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x11: comment/blank line stats over planted comment prefixes."""
     from yalder_spark.operators.textstats import comment_stats
@@ -1036,14 +1071,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks only the FIRST 50 registered
     # queries, so the dict is ordered least-recently-driver-verified
     # FIRST — round-7 rotation: the NEW no-evidence queries lead (the
-    # five repo-table rows d10/d11/q9/q10/x11, then w1/c1/c2), then the
-    # 16 queries green-in-r5 but rotated outside r6's window (e1–e4,
-    # m1–m3, r1, r13, r14, s1, s4–s6, x9, x10); r6-green rows fill the
-    # remaining 26 prefix slots — the five slid out by the new rows
-    # (r9_rollup, r10_pivot, r11_having_scalar, r12_cube, r15_lag_delta)
-    # are r6-green, so the r6∪r7 window keeps them, as does the tail of
-    # rows green in r4 AND r5 AND r6 (the detection/training/dedup
-    # core).
+    # six repo-table rows d10/d11/q9/q10/q11/x11, then w1/c1/c2), then
+    # the 16 queries green-in-r5 but rotated outside r6's window
+    # (e1–e4, m1–m3, r1, r13, r14, s1, s4–s6, x9, x10); r6-green rows
+    # fill the remaining 25 prefix slots.  Every row the new queries
+    # push past position 50 (the tail of the r-family) is r6-green, so
+    # the r6∪r7 window keeps it — as it does the tail of rows green in
+    # r4 AND r5 AND r6 (the detection/training/dedup core).
     # tests/test_entry_contract.py pins that every query without a
     # green row in the last two CORRECTNESS files sits inside the
     # first-50 prefix.
@@ -1054,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d11_boilerplate": _q_d11_boilerplate,
         "q9_license_scan": _q_q9_license_scan,
         "q10_secret_scrub": _q_q10_secret_scrub,
+        "q11_license_report": _q_q11_license_report,
         "x11_comment_stats": _q_x11_comment_stats,
         # NEW round 7: the composed curation/decontamination chains +
         # the wide (10-language / 5-script) langid surface
@@ -1953,6 +1988,30 @@ def oracle_sql() -> dict[str, str]:
                                    chr(10) ORDER BY pos), '') AS clean_content,
                (sum(CASE WHEN dropped THEN 1 ELSE 0 END))::BIGINT AS n_removed
         FROM flagged GROUP BY doc_id
+    """
+
+    autogen_on_content = _AUTOGEN_SQL.replace("(text", "(content")
+    out["q11_license_report"] = f"""
+        WITH planted AS (
+          SELECT doc_id, {lic_plant} AS content FROM documents),
+        scanned AS (
+          SELECT doc_id, content, {lic_case} AS license FROM planted),
+        sig AS (
+          SELECT license, license IN ({perm_set}) AS permissive,
+                 ((list_max(list_transform(split(content, chr(10)),
+                                           x -> length(x))) <= 1000)
+                  AND ((length(content) - nl) / (nl + 1.0) <= 250.0)
+                  AND (length(regexp_replace(content, '[^A-Za-z]', '', 'g'))
+                       / greatest(length(content), 1)::DOUBLE >= 0.25)
+                  AND NOT {autogen_on_content}) AS keep_h
+          FROM (SELECT *, length(content)
+                          - length(replace(content, chr(10), '')) AS nl
+                FROM scanned))
+        SELECT license, permissive, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN keep_h THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+               round(sum(CASE WHEN keep_h THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 6) AS keep_rate
+        FROM sig GROUP BY license, permissive
     """
 
     out["x11_comment_stats"] = f"""
