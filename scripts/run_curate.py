@@ -51,7 +51,31 @@ def main() -> None:
                          "(dedup stages are deterministic and recomputed)")
     ap.add_argument("--buckets", type=int, default=16,
                     help="output buckets for --resumable")
+    ap.add_argument("--latest-only", action="store_true",
+                    help="repo-table pre-stage: collapse the commit "
+                         "history to one row per (repo, path) before "
+                         "curation (survivor = max commit)")
+    ap.add_argument("--strip-boilerplate", type=int, default=None,
+                    metavar="MIN_DOCS",
+                    help="repo-table pre-stage: drop every trimmed "
+                         "non-blank line occurring in >= MIN_DOCS "
+                         "distinct documents before curation "
+                         "(requires --latest-only)")
+    ap.add_argument("--scrub-secrets", action="store_true",
+                    help="repo-table pre-stage: redact embedded "
+                         "credentials before curation")
     args = ap.parse_args()
+
+    # same pre-JVM validation as run_filter.py (shared failure modes:
+    # a <2 threshold blanks the corpus; the strip stage needs the
+    # snapshot stage's unique row identities)
+    if args.strip_boilerplate is not None and args.strip_boilerplate < 2:
+        ap.error("--strip-boilerplate must be >= 2 (a threshold of "
+                 f"{args.strip_boilerplate} would strip every "
+                 "non-blank line in the corpus)")
+    if args.strip_boilerplate is not None and not args.latest_only:
+        ap.error("--strip-boilerplate requires --latest-only: line "
+                 "reassembly needs unique (repo, path) row identities")
 
     from yalder_spark.operators.model import LanguageModel
     from yalder_spark.pipeline import (build_session, curate_corpus,
@@ -68,7 +92,10 @@ def main() -> None:
             n_buckets=args.buckets,
             neardup_threshold=args.neardup_threshold,
             survivor_rule=args.survivor_rule,
-            cc_algorithm=args.cc_algorithm)
+            cc_algorithm=args.cc_algorithm,
+            latest_only=args.latest_only,
+            strip_boilerplate_min_docs=args.strip_boilerplate,
+            scrub_secrets=args.scrub_secrets)
         # same stats sidecar contract as the non-resumable path; counts
         # cover the WHOLE committed output (complete even after resume),
         # from a column-pruned read of the committed buckets
@@ -86,6 +113,14 @@ def main() -> None:
         return
 
     df = spark.read.parquet(args.input)
+    if (args.latest_only or args.strip_boilerplate is not None
+            or args.scrub_secrets):
+        from yalder_spark.pipeline import prepare_repo_table
+
+        df, _ = prepare_repo_table(
+            df, latest_only=args.latest_only,
+            strip_boilerplate_min_docs=args.strip_boilerplate,
+            scrub_secrets=args.scrub_secrets, count_stats=False)
     # count_curated=False: the write below IS the filter pass; n_curated
     # comes from the written parquet's footer metadata (a free count)
     # instead of a second full pass over the corpus.
@@ -101,6 +136,12 @@ def main() -> None:
     curated.write.mode("overwrite").parquet(args.output)
     stats["n_curated"] = spark.read.parquet(args.output).count()
     stats["output"] = args.output
+    if (args.latest_only or args.strip_boilerplate is not None
+            or args.scrub_secrets):
+        stats["prepare"] = {"latest_only": args.latest_only,
+                            "strip_boilerplate_min_docs":
+                                args.strip_boilerplate,
+                            "scrub_secrets": args.scrub_secrets}
     # Hadoop FS write: works for hdfs://, s3a://... outputs too
     from yalder_spark.sources.io import write_text_any_fs
     write_text_any_fs(spark, os.path.join(args.output, "_curate_stats.json"),

@@ -192,6 +192,22 @@ def test_run_filter_cli_prepare_stages(tmp_path):
     assert persisted["prepare"]["strip_boilerplate_min_docs"] == 20
 
 
+def test_run_curate_cli_rejects_bad_prepare_flags(tmp_path):
+    """run_curate shares run_filter's pre-JVM prepare-flag validation
+    (destructive threshold, snapshot precondition)."""
+    for extra in (
+        ["--latest-only", "--strip-boilerplate", "1"],
+        ["--strip-boilerplate", "50"],
+    ):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "run_curate.py"),
+             "--input", "x", "--output", "y", "--model", "m",
+             "--ppl-model", "p", *extra],
+            capture_output=True, text=True, timeout=60)
+        assert proc.returncode == 2, (extra, proc.stderr[-500:])
+        assert "usage:" in proc.stderr
+
+
 def test_run_curate_cli_resumable(cli_input, tmp_path):
     out = str(tmp_path / "out")
     stdout = _run_cli(

@@ -406,3 +406,40 @@ def test_prepare_repo_table_composition(spark, repos_pdf):
     with pytest.raises(ValueError, match="latest_only"):
         prepare_repo_table(multi, latest_only=False,
                            strip_boilerplate_min_docs=10)
+
+
+def test_run_curate_resumable_with_prepare(spark, repos_pdf, model_artifact,
+                                           ppl_model, tmp_path):
+    """The prepare pre-stage composes with the resumable curation job:
+    a planted re-commit collapses, a planted token is redacted before
+    dedup/filter, and the lineage record names the pre-stage."""
+    import json
+
+    from yalder_spark.pipeline import run_curate_resumable
+
+    pdf = repos_input(repos_pdf).head(80).copy().reset_index(drop=True)
+    pdf.loc[3:6, "content"] = ("ghp_" + "c3" * 18 + "\n"
+                               + pdf.loc[3:6, "content"].fillna(""))
+    re_c = pdf.head(10).copy()
+    re_c["commit"] = "f" * 40
+    re_c["content"] = "RECOMMIT " + re_c["content"].fillna("")
+    import pandas as pd
+    inp = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        pd.concat([pdf, re_c], ignore_index=True)).write.parquet(inp)
+    out = str(tmp_path / "out")
+
+    report = run_curate_resumable(
+        spark, inp, out, model_artifact, ppl_model, n_buckets=2,
+        latest_only=True, scrub_secrets=True)
+    assert report["prepare"] == {"latest_only": True,
+                                 "strip_boilerplate_min_docs": None,
+                                 "scrub_secrets": True}
+    assert report["dedup_stats"]["n_in"] == 80      # re-commits collapsed
+    got = yio.read_output(spark, out)
+    blob = "\n".join(r["scrubbed_text"] or "" for r in got.collect())
+    assert "ghp_c3" not in blob and "<GH_TOKEN>" in blob
+    runs = [f for f in os.listdir(os.path.join(out, "_runs"))
+            if f.endswith(".json")]
+    persisted = json.load(open(os.path.join(out, "_runs", runs[0])))
+    assert persisted["prepare"]["scrub_secrets"] is True

@@ -325,7 +325,10 @@ def run_curate_resumable(spark: SparkSession, input_path: str,
                          content_col: str = "content",
                          survivor_rule: str = "pairs",
                          cc_algorithm: str = "auto",
-                         input_format: str = "parquet") -> dict:
+                         input_format: str = "parquet",
+                         latest_only: bool = False,
+                         strip_boilerplate_min_docs: int | None = None,
+                         scrub_secrets: bool = False) -> dict:
     """Resumable curation job: the dedup stages are GLOBAL and
     deterministic (content-addressed ids, frozen MinHash permutations),
     so on resume they are simply recomputed — cheap relative to the
@@ -337,14 +340,31 @@ def run_curate_resumable(spark: SparkSession, input_path: str,
     always apply the identical doc-identity and survivor rule.  The
     returned report carries the dedup stage counts; per-bucket metrics
     cover the buckets THIS run committed (same contract as run_filter —
-    a resume reports only what it resumed)."""
+    a resume reports only what it resumed).
+
+    The optional repo-table pre-stage (`prepare_repo_table`, round 7)
+    runs before the dedup prefix under the same recompute-on-resume
+    argument — it is global and deterministic — and its config joins
+    the lineage record."""
     df = yio.read_source(spark, input_path, input_format)
+    extra = None
+    if (latest_only or strip_boilerplate_min_docs is not None
+            or scrub_secrets):
+        df, _ = prepare_repo_table(
+            df, latest_only=latest_only,
+            strip_boilerplate_min_docs=strip_boilerplate_min_docs,
+            scrub_secrets=scrub_secrets, count_stats=False)
+        extra = {"prepare": {"latest_only": latest_only,
+                             "strip_boilerplate_min_docs":
+                                 strip_boilerplate_min_docs,
+                             "scrub_secrets": scrub_secrets}}
     survivors, dedup_stats = _dedup_survivors(df, content_col,
                                               neardup_threshold,
                                               survivor_rule, cc_algorithm)
     report = _filter_and_commit(spark, survivors.drop("doc_id"),
                                 input_path, output_path,
-                                model, ppl_model, config, n_buckets)
+                                model, ppl_model, config, n_buckets,
+                                extra_lineage=extra)
     report["dedup_stats"] = dedup_stats
     return report
 
