@@ -261,3 +261,24 @@ def test_tfidf_no_term_window_shared_tf(spark):
         assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
     finally:
         spark.catalog.clearCache()
+
+
+def test_repoops_map_only_plans(spark):
+    """§2.F scale shape: license_scan / secret_scrub / comment_stats
+    are pure JVM expression chains — their plans must contain ZERO
+    Exchange (map-only, whole-stage-codegen), so they compose into any
+    pipeline without adding a shuffle."""
+    from yalder_spark.operators.repoops import license_scan, secret_scrub
+    from yalder_spark.operators.textstats import comment_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    repo = docs.selectExpr("doc_id", "text AS content")
+    for df in (
+        license_scan(repo),
+        secret_scrub(repo),
+        comment_stats(docs),
+    ):
+        plan = _plan(df)
+        assert _nodes(plan, "Exchange") == 0, plan[:800]
+        # formatted mode marks codegen spans with '[codegen id : N]'
+        assert "codegen id" in plan, plan[:800]
