@@ -1,0 +1,186 @@
+"""Throughput probe for the remaining §2.F repo-table operators
+(round 7): d10 `latest_snapshot`, q9 `license_scan`, q10
+`secret_scrub`.  d11's shuffle chain has its own probe
+(measure_boilerplate.py); these three are one window shuffle and two
+map-only regex chains — this records their measured rows/s at 1M and
+4M input rows so the SCALE.md claims carry numbers, not just plan
+shapes.
+
+Input synthesized distributedly (no RNG): TWO commits per (repo, path)
+— so the snapshot stage must discard exactly half its input, asserted —
+with ~210-char contents; every 10th row carries a plantable GitHub
+token (q10 must find exactly n/10, asserted) and rows cycle through
+the license plants used by the q9 driver row (6 of 7 slots headered).
+
+min-of-2 in a fresh subprocess JVM per size with an untimed 100k
+warm-up (CLAUDE.md measurement discipline).  Run alone.  Writes
+BENCH/$REPOOPS_OUT (default round7_repoops.json).
+"""
+
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SIZES = (1_000_000, 4_000_000)
+CHILD_TIMEOUT = 1500
+
+LICENSE_PLANTS = (
+    "// SPDX-License-Identifier: MIT",
+    "/* Licensed under the Apache License, Version 2.0 */",
+    "# GNU General Public License v3",
+    "// Redistribution and use in source and binary forms",
+    "// Mozilla Public License 2.0",
+    "This is free and unencumbered software released into the public domain",
+)
+
+
+def synth_rows(spark, n: int):
+    """n rows = n/2 files x 2 commits each."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("rid"))
+    fid = (F.col("rid") / 2).cast("long")      # two rids per file
+    body = F.concat_ws(" ", *[
+        F.sha2(F.concat_ws("-", F.col("rid").cast("string"),
+                           F.lit(f"b{j}")), 256).substr(1, 24)
+        for j in range(8)])
+    header = None
+    for i, plant in enumerate(LICENSE_PLANTS):
+        cond = fid % 7 == i
+        header = (F.when(cond, F.lit(plant + "\n")) if header is None
+                  else header.when(cond, F.lit(plant + "\n")))
+    header = header.otherwise(F.lit(""))
+    token = F.when(
+        F.col("rid") % 10 == 0,
+        F.concat(F.lit("ghp_"),
+                 F.substring(F.sha2(F.col("rid").cast("string"), 256),
+                             1, 36),
+                 F.lit("\n"))).otherwise(F.lit(""))
+    # sha2 hex is [0-9a-f] -> valid [A-Za-z0-9]{36} token body
+    return ids.select(
+        F.concat(F.lit("org-"), (fid % 512).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), fid.cast("string"), F.lit(".py")
+                 ).alias("path"),
+        F.sha2(F.col("rid").cast("string"), 256).substr(1, 40).alias("commit"),
+        F.concat(token, header, body).alias("content"),
+    )
+
+
+def child(n: int) -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from yalder_spark.operators.repoops import (
+        latest_snapshot, license_scan, secret_scrub)
+
+    spark = (SparkSession.builder.appName(f"repoops-{n}")
+             .master(f"local[{CPUS}]")
+             .config("spark.driver.memory", "48g")
+             .config("spark.sql.shuffle.partitions", str(CPUS * 2))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+
+    warm = synth_rows(spark, 100_000)
+    latest_snapshot(warm).agg(F.sum(F.length("content"))).collect()
+    license_scan(warm).groupBy("license").count().collect()
+    secret_scrub(warm).agg(F.sum(F.length("scrubbed"))).collect()
+
+    def one_pass():
+        stages, counts = {}, {}
+        rows = synth_rows(spark, n)
+
+        t0 = time.monotonic()
+        snap = latest_snapshot(rows).agg(
+            F.count("*").alias("files"),
+            F.sum(F.length("content")).alias("chars")).collect()[0]
+        stages["d10_snapshot"] = round(time.monotonic() - t0, 2)
+        assert snap["files"] == n // 2, snap    # exactly half survives
+        counts["snapshot_files"] = snap["files"]
+
+        t0 = time.monotonic()
+        lic = {r["license"]: r["count"] for r in
+               license_scan(rows).groupBy("license").count().collect()}
+        stages["q9_license"] = round(time.monotonic() - t0, 2)
+        assert sum(lic.values()) == n, lic
+        counts["licenses"] = dict(sorted(lic.items()))
+
+        t0 = time.monotonic()
+        scr = secret_scrub(rows).agg(
+            F.sum(F.col("has_secret").cast("long")).alias("hits"),
+            F.sum(F.length("scrubbed")).alias("chars")).collect()[0]
+        stages["q10_scrub"] = round(time.monotonic() - t0, 2)
+        assert scr["hits"] == n // 10, scr      # exactly the planted tokens
+        counts["secret_hits"] = scr["hits"]
+
+        print(f"  n={n} {stages}", file=sys.stderr, flush=True)
+        return stages, counts
+
+    passes = [one_pass() for _ in range(2)]
+    if passes[0][1] != passes[1][1]:
+        raise RuntimeError(f"pass counts diverged: {passes[0][1]} vs "
+                           f"{passes[1][1]}")
+    stages = {k: min(p[0][k] for p in passes) for k in passes[0][0]}
+    print("RESULT " + json.dumps({
+        "n_rows": n, "stages_sec": stages, "counts": passes[0][1],
+        "protocol": "min-of-2 per stage",
+        "rows_per_sec": {k: round(n / v, 1) for k, v in stages.items()},
+    }), flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    results = []
+    for n in SIZES:
+        env = dict(os.environ, REPOOPS_POINT=str(n), PYTHONPATH=REPO)
+        try:
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, capture_output=True, text=True,
+                                  timeout=CHILD_TIMEOUT)
+        except subprocess.TimeoutExpired:
+            results.append({"n_rows": n, "error": f"timeout>{CHILD_TIMEOUT}s"})
+            print(f"point {n} TIMED OUT", flush=True)
+            continue
+        sys.stderr.write(proc.stderr[-2000:])
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("RESULT ")), None)
+        if proc.returncode != 0 or line is None:
+            results.append({"n_rows": n, "error": f"rc={proc.returncode}"})
+            print(f"point {n} FAILED rc={proc.returncode}", flush=True)
+            continue
+        results.append(json.loads(line[len("RESULT "):]))
+        print(results[-1], flush=True)
+
+    ok = [r for r in results if "error" not in r]
+    scaling = {}
+    if len(ok) >= 2:
+        lo, hi = ok[0], ok[-1]
+        ratio_n = hi["n_rows"] / lo["n_rows"]
+        for st in hi["stages_sec"]:
+            r = hi["stages_sec"][st] / max(lo["stages_sec"][st], 0.01)
+            scaling[st] = {"wall_ratio": round(r, 2),
+                           "exponent": round(math.log(r)
+                                             / math.log(ratio_n), 2)}
+    out = {"cores": CPUS, "sizes": list(SIZES), "points": results,
+           "scaling_lo_to_hi": scaling}
+    dest = os.path.join(REPO, "BENCH",
+                        os.environ.get("REPOOPS_OUT",
+                                       "round7_repoops.json"))
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {dest}", flush=True)
+
+
+if __name__ == "__main__":
+    if os.environ.get("REPOOPS_POINT"):
+        child(int(os.environ["REPOOPS_POINT"]))
+    else:
+        main()
