@@ -182,20 +182,10 @@ def _q_q8_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_q7_keep_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7's SQL-expressible sub-chain (no model signals): frozen rule
-    order long_lines -> low_alpha -> autogen."""
-    from yalder_spark.functions.quality import AUTOGEN_PATTERN
-
+    order long_lines -> low_alpha -> autogen (shared `_keep_reason`
+    builder — q11 reads the same chain)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    nl = F.length("text") - F.length(F.regexp_replace("text", "\n", ""))
-    mean_len = (F.length("text") - nl) / (nl + 1)
-    max_len = F.array_max(F.transform(F.split("text", "\n"), lambda x: F.length(x)))
-    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / \
-        F.greatest(F.length("text"), F.lit(1))
-    reason = (
-        F.when((max_len > 1000) | (mean_len > 250.0), "long_lines")
-        .when(alpha < 0.25, "low_alpha")
-        .when(F.col("text").rlike(AUTOGEN_PATTERN), "autogen")
-    )
+    reason = _keep_reason(F.col("text"))
     return d.select("doc_id", reason.isNull().alias("keep_h"),
                     reason.alias("drop_reason_h"))
 
@@ -919,6 +909,35 @@ def _md5_tag(tag: str) -> F.Column:
     return F.md5(F.concat(F.lit(tag + "@"), F.col("doc_id").cast("string")))
 
 
+def _planted_license_content() -> F.Column:
+    """The FROZEN q9/q11 license-plant recipe — ONE source for both
+    queries (review: the duplicated loop could drift while each query's
+    own Spark/DuckDB pair stayed green)."""
+    content = F.col("text")
+    for i, plant in enumerate(_LICENSE_PLANTS):
+        content = F.when(F.col("doc_id") % 7 == i,
+                         F.concat(F.lit(plant + "\n"), F.col("text"))
+                         ).otherwise(content)
+    return content
+
+
+def _keep_reason(c: F.Column) -> F.Column:
+    """q7's FROZEN keep-heuristic rule chain over column ``c`` (first
+    failing rule, frozen order) — ONE source for q7 (reason + keep) and
+    q11 (keep only; ``reason.isNull()`` == the rule conjunction)."""
+    from yalder_spark.functions.quality import AUTOGEN_PATTERN
+
+    nl = F.length(c) - F.length(F.regexp_replace(c, "\n", ""))
+    mean_len = (F.length(c) - nl) / (nl + 1)
+    max_len = F.array_max(F.transform(F.split(c, "\n"),
+                                      lambda x: F.length(x)))
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")) / \
+        F.greatest(F.length(c), F.lit(1))
+    return (F.when((max_len > 1000) | (mean_len > 250.0), "long_lines")
+            .when(alpha < 0.25, "low_alpha")
+            .when(c.rlike(AUTOGEN_PATTERN), "autogen"))
+
+
 def _q_d10_latest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d10: synthesize a multi-commit history (every file has a base
     commit; every 3rd a v2, every 9th a v3 — commit = md5 so the
@@ -952,12 +971,8 @@ def _q_q9_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yalder_spark.operators.repoops import license_scan
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    content = F.col("text")
-    for i, plant in enumerate(_LICENSE_PLANTS):
-        content = F.when(F.col("doc_id") % 7 == i,
-                         F.concat(F.lit(plant + "\n"), F.col("text"))
-                         ).otherwise(content)
-    planted = d.select("doc_id", content.alias("content"))
+    planted = d.select("doc_id",
+                       _planted_license_content().alias("content"))
     return license_scan(planted).select("doc_id", "license", "permissive")
 
 
@@ -1018,26 +1033,13 @@ def _q_q11_license_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification (q9, planted headers) × the SQL-expressible keep
     heuristic (q7's frozen rule order), rolled up per license.  One
     groupBy shuffle over 7 tiny groups after two map-only stages."""
-    from yalder_spark.functions.quality import AUTOGEN_PATTERN
     from yalder_spark.operators.repoops import license_scan
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    content = F.col("text")
-    for i, plant in enumerate(_LICENSE_PLANTS):
-        content = F.when(F.col("doc_id") % 7 == i,
-                         F.concat(F.lit(plant + "\n"), F.col("text"))
-                         ).otherwise(content)
-    planted = d.select("doc_id", content.alias("content"))
+    planted = d.select("doc_id",
+                       _planted_license_content().alias("content"))
     scanned = license_scan(planted)
-    c = F.col("content")
-    nl = F.length(c) - F.length(F.regexp_replace(c, "\n", ""))
-    mean_len = (F.length(c) - nl) / (nl + 1)
-    max_len = F.array_max(F.transform(F.split(c, "\n"),
-                                      lambda x: F.length(x)))
-    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")) / \
-        F.greatest(F.length(c), F.lit(1))
-    keep_h = ((max_len <= 1000) & (mean_len <= 250.0) & (alpha >= 0.25)
-              & ~c.rlike(AUTOGEN_PATTERN))
+    keep_h = _keep_reason(F.col("content")).isNull()
     return (scanned
             .select("license", "permissive", keep_h.alias("keep_h"))
             .groupBy("license", "permissive")
@@ -1221,8 +1223,31 @@ _GOLDEN_QUERIES = (
     "e4_embedding_neardup", "m1_image_features", "m2_frame_sample",
     "m3_audio_features",
 )
-_AUTOGEN_SQL = ("regexp_matches(text, '(?i)generated by|do not edit|"
-                "auto-generated|autogenerated|@generated|this file was automatically')")
+def _autogen_sql(col: str = "text") -> str:
+    """DuckDB mirror of quality.AUTOGEN_PATTERN, column-parameterized
+    (review: string-surgery on a fixed SQL snippet desyncs silently)."""
+    return (f"regexp_matches({col}, '(?i)generated by|do not edit|"
+            "auto-generated|autogenerated|@generated|this file was automatically')")
+
+
+_AUTOGEN_SQL = _autogen_sql()
+
+
+def _q7_sig_sql(src: str, col: str = "text") -> str:
+    """The q7 keep-heuristic signal CTE body over table ``src`` /
+    column ``col`` — ONE generated source for the q7 and q11 oracles
+    (mirrors the Spark-side `_keep_reason` builder)."""
+    return f"""
+              SELECT *,
+                (length({col}) - nl) / (nl + 1.0) AS mean_len,
+                list_max(list_transform(split({col}, chr(10)),
+                                        x -> length(x))) AS max_len,
+                length(regexp_replace({col}, '[^A-Za-z]', '', 'g'))
+                  / greatest(length({col}), 1)::DOUBLE AS alpha,
+                {_autogen_sql(col)} AS autogen
+              FROM (SELECT *, length({col})
+                              - length(replace({col}, chr(10), '')) AS nl
+                    FROM {src})"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1358,17 +1383,8 @@ def oracle_sql() -> dict[str, str]:
         "q6_tox_scrub": f"""
             SELECT doc_id, {tox} AS scrubbed FROM documents
         """,
-        "q7_keep_heuristic": """
-            WITH sig AS (
-              SELECT doc_id,
-                (length(text) - nl) / (nl + 1.0) AS mean_len,
-                list_max(list_transform(split(text, chr(10)), x -> length(x))) AS max_len,
-                length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                  / greatest(length(text), 1)::DOUBLE AS alpha,
-                regexp_matches(text, '(?i)generated by|do not edit|auto-generated|autogenerated|@generated|this file was automatically') AS autogen
-              FROM (SELECT doc_id, text,
-                           length(text) - length(replace(text, chr(10), '')) AS nl
-                    FROM documents))
+        "q7_keep_heuristic": f"""
+            WITH sig AS ({_q7_sig_sql('documents')})
             SELECT doc_id,
                    (reason IS NULL) AS keep_h, reason AS drop_reason_h
             FROM (SELECT doc_id,
@@ -1990,28 +2006,21 @@ def oracle_sql() -> dict[str, str]:
         FROM flagged GROUP BY doc_id
     """
 
-    autogen_on_content = _AUTOGEN_SQL.replace("(text", "(content")
     out["q11_license_report"] = f"""
         WITH planted AS (
           SELECT doc_id, {lic_plant} AS content FROM documents),
         scanned AS (
           SELECT doc_id, content, {lic_case} AS license FROM planted),
-        sig AS (
-          SELECT license, license IN ({perm_set}) AS permissive,
-                 ((list_max(list_transform(split(content, chr(10)),
-                                           x -> length(x))) <= 1000)
-                  AND ((length(content) - nl) / (nl + 1.0) <= 250.0)
-                  AND (length(regexp_replace(content, '[^A-Za-z]', '', 'g'))
-                       / greatest(length(content), 1)::DOUBLE >= 0.25)
-                  AND NOT {autogen_on_content}) AS keep_h
-          FROM (SELECT *, length(content)
-                          - length(replace(content, chr(10), '')) AS nl
-                FROM scanned))
+        sig AS ({_q7_sig_sql('scanned', 'content')})
         SELECT license, permissive, count(*)::BIGINT AS n_docs,
                sum(CASE WHEN keep_h THEN 1 ELSE 0 END)::BIGINT AS n_keep,
                round(sum(CASE WHEN keep_h THEN 1 ELSE 0 END)
                      / count(*)::DOUBLE, 6) AS keep_rate
-        FROM sig GROUP BY license, permissive
+        FROM (SELECT license, license IN ({perm_set}) AS permissive,
+                     NOT (max_len > 1000 OR mean_len > 250.0
+                          OR alpha < 0.25 OR autogen) AS keep_h
+              FROM sig)
+        GROUP BY license, permissive
     """
 
     out["x11_comment_stats"] = f"""

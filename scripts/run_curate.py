@@ -113,14 +113,11 @@ def main() -> None:
         return
 
     df = spark.read.parquet(args.input)
-    if (args.latest_only or args.strip_boilerplate is not None
-            or args.scrub_secrets):
-        from yalder_spark.pipeline import prepare_repo_table
+    from yalder_spark.pipeline import _apply_prepare
 
-        df, _ = prepare_repo_table(
-            df, latest_only=args.latest_only,
-            strip_boilerplate_min_docs=args.strip_boilerplate,
-            scrub_secrets=args.scrub_secrets, count_stats=False)
+    df, prep_cfg = _apply_prepare(df, args.latest_only,
+                                  args.strip_boilerplate,
+                                  args.scrub_secrets)
     # count_curated=False: the write below IS the filter pass; n_curated
     # comes from the written parquet's footer metadata (a free count)
     # instead of a second full pass over the corpus.
@@ -136,12 +133,8 @@ def main() -> None:
     curated.write.mode("overwrite").parquet(args.output)
     stats["n_curated"] = spark.read.parquet(args.output).count()
     stats["output"] = args.output
-    if (args.latest_only or args.strip_boilerplate is not None
-            or args.scrub_secrets):
-        stats["prepare"] = {"latest_only": args.latest_only,
-                            "strip_boilerplate_min_docs":
-                                args.strip_boilerplate,
-                            "scrub_secrets": args.scrub_secrets}
+    if prep_cfg:
+        stats["prepare"] = prep_cfg
     # Hadoop FS write: works for hdfs://, s3a://... outputs too
     from yalder_spark.sources.io import write_text_any_fs
     write_text_any_fs(spark, os.path.join(args.output, "_curate_stats.json"),

@@ -98,7 +98,7 @@ def prepare_repo_table(df: DataFrame, latest_only: bool = True,
     if latest_only:
         if count_stats:
             stats["n_in"] = out.count()
-        out = latest_snapshot(out)
+        out = latest_snapshot(out, content_col=content_col)
         if count_stats:
             n_latest = out.count()
             stats["n_stale_commits_removed"] = stats["n_in"] - n_latest
@@ -126,6 +126,30 @@ def prepare_repo_table(df: DataFrame, latest_only: bool = True,
         out = (scrubbed.drop(content_col, "has_secret")
                .withColumnRenamed("scrubbed", content_col))
     return out.select(*in_cols), stats
+
+
+def _apply_prepare(df: DataFrame, latest_only: bool,
+                   strip_boilerplate_min_docs: int | None,
+                   scrub_secrets: bool,
+                   content_col: str = "content",
+                   ) -> tuple[DataFrame, dict | None]:
+    """Shared pre-stage gate for the filter and curate jobs (and their
+    CLIs): (df unchanged, None) when no stage is requested, else
+    (prepared df, the prepare-config dict that goes into the lineage
+    record).  ONE place evaluates the gate and spells the config keys —
+    four hand-synced copies is how a new flag silently drops out of one
+    job's lineage."""
+    if not (latest_only or strip_boilerplate_min_docs is not None
+            or scrub_secrets):
+        return df, None
+    out, _ = prepare_repo_table(
+        df, latest_only=latest_only,
+        strip_boilerplate_min_docs=strip_boilerplate_min_docs,
+        scrub_secrets=scrub_secrets, content_col=content_col,
+        count_stats=False)
+    return out, {"latest_only": latest_only,
+                 "strip_boilerplate_min_docs": strip_boilerplate_min_docs,
+                 "scrub_secrets": scrub_secrets}
 
 
 def curate_corpus(df: DataFrame, model: LanguageModel,
@@ -297,22 +321,16 @@ def run_filter(spark: SparkSession, input_path: str, output_path: str,
     is written once (``count_stats=False`` — the bucket metrics already
     report the post-prepare counts)."""
     src = yio.read_source(spark, input_path, input_format)
-    extra = None
-    if (latest_only or strip_boilerplate_min_docs is not None
-            or scrub_secrets):
-        src, _ = prepare_repo_table(
-            src, latest_only=latest_only,
-            strip_boilerplate_min_docs=strip_boilerplate_min_docs,
-            scrub_secrets=scrub_secrets, count_stats=False)
-        # into the lineage record, so the persisted _runs/<id>.json
-        # states which pre-stages shaped the committed output
-        extra = {"prepare": {"latest_only": latest_only,
-                             "strip_boilerplate_min_docs":
-                                 strip_boilerplate_min_docs,
-                             "scrub_secrets": scrub_secrets}}
+    src, prep_cfg = _apply_prepare(src, latest_only,
+                                   strip_boilerplate_min_docs,
+                                   scrub_secrets)
+    # prep_cfg joins the lineage record, so the persisted
+    # _runs/<id>.json states which pre-stages shaped the output
     return _filter_and_commit(spark, src, input_path, output_path,
                               model, ppl_model, config, n_buckets,
-                              extra_lineage=extra)
+                              extra_lineage=(
+                                  {"prepare": prep_cfg} if prep_cfg
+                                  else None))
 
 
 def run_curate_resumable(spark: SparkSession, input_path: str,
@@ -347,17 +365,12 @@ def run_curate_resumable(spark: SparkSession, input_path: str,
     argument — it is global and deterministic — and its config joins
     the lineage record."""
     df = yio.read_source(spark, input_path, input_format)
-    extra = None
-    if (latest_only or strip_boilerplate_min_docs is not None
-            or scrub_secrets):
-        df, _ = prepare_repo_table(
-            df, latest_only=latest_only,
-            strip_boilerplate_min_docs=strip_boilerplate_min_docs,
-            scrub_secrets=scrub_secrets, count_stats=False)
-        extra = {"prepare": {"latest_only": latest_only,
-                             "strip_boilerplate_min_docs":
-                                 strip_boilerplate_min_docs,
-                             "scrub_secrets": scrub_secrets}}
+    # content_col passes through (review: the pre-stage previously
+    # scrubbed the literal 'content' column regardless of content_col)
+    df, prep_cfg = _apply_prepare(df, latest_only,
+                                  strip_boilerplate_min_docs,
+                                  scrub_secrets, content_col=content_col)
+    extra = {"prepare": prep_cfg} if prep_cfg else None
     survivors, dedup_stats = _dedup_survivors(df, content_col,
                                               neardup_threshold,
                                               survivor_rule, cc_algorithm)
