@@ -938,13 +938,13 @@ def _keep_reason(c: F.Column) -> F.Column:
             .when(c.rlike(AUTOGEN_PATTERN), "autogen"))
 
 
-def _q_d10_latest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """d10: synthesize a multi-commit history (every file has a base
-    commit; every 3rd a v2, every 9th a v3 — commit = md5 so the
-    lexicographic winner varies per file) and collapse it to the latest
-    snapshot.  One shuffle on (repo, path)."""
-    from yalder_spark.operators.repoops import latest_snapshot
-
+def _multi_commit_revisions(spark: SparkSession, sf_dir: str
+                            ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The FROZEN d10/s9 multi-commit plant — ONE source for both the
+    batch snapshot row and its streaming counterpart (house rule: shared
+    query specs never get hand-doubled).  Every file has a base commit;
+    every 3rd a v2, every 9th a v3 — commit = md5 of a tag so the
+    lexicographic winner varies per file."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def rev(tag: str, where) -> DataFrame:
@@ -958,12 +958,82 @@ def _q_d10_latest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
              else F.concat(F.col("text"), F.lit(" " + tag))).alias("content"),
         )
 
-    multi = (rev("doc", None)
-             .unionByName(rev("v2", F.col("doc_id") % 3 == 0))
-             .unionByName(rev("v3", F.col("doc_id") % 9 == 0)))
+    return (rev("doc", None),
+            rev("v2", F.col("doc_id") % 3 == 0),
+            rev("v3", F.col("doc_id") % 9 == 0))
+
+
+def _q_d10_latest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d10: synthesize a multi-commit history and collapse it to the
+    latest snapshot.  One shuffle on (repo, path)."""
+    from yalder_spark.operators.repoops import latest_snapshot
+
+    base, v2, v3 = _multi_commit_revisions(spark, sf_dir)
+    multi = base.unionByName(v2).unionByName(v3)
     return latest_snapshot(multi).select(
         "repo", "path", "commit",
         F.sha2("content", 256).alias("content_sha256"))
+
+
+def _q_s9_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s9 — incremental snapshot ingest (``run_snapshot_ingest``), the
+    STREAMING counterpart of d10, driven through a two-drain re-ingest
+    scenario and required to converge to the batch snapshot bit-for-bit
+    (the oracle is the SAME SQL as d10).
+
+    Scenario: drain 1 ingests every base commit; drain 2 — a separate
+    invocation on the same checkpoint — backfills the v2/v3 revisions
+    PLUS a full re-delivery of the base rows (a re-ingest storm).  The
+    drain reports must show exactly-once source consumption (loud
+    checks), the stateful stale filter must keep the changelog strictly
+    below delivered volume, and merge-on-read (``read_snapshot``) must
+    equal ``latest_snapshot`` over the union — which is exactly what
+    d10's oracle computes."""
+    import shutil
+    import tempfile
+
+    from yalder_spark.streaming.snapshot_stream import (read_snapshot,
+                                                        run_snapshot_ingest)
+
+    base, v2, v3 = _multi_commit_revisions(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="s9_ingest_")
+    try:
+        landing, changelog = f"{tmp}/landing", f"{tmp}/changelog"
+        base.coalesce(2).write.parquet(landing)
+        n_base, n_v23 = base.count(), v2.count() + v3.count()
+
+        rep1 = run_snapshot_ingest(spark, landing, changelog,
+                                   query_name="s9_snapshot_stream")
+        if rep1["n_input_rows"] != n_base:
+            raise RuntimeError(
+                f"s9 drain 1 consumed {rep1['n_input_rows']} rows, expected "
+                f"the {n_base} base commits")
+
+        # the backfill lands: new revisions + a re-delivered copy of
+        # every base row; the resumed drain must consume EXACTLY it
+        (v2.unionByName(v3).unionByName(base)
+         .coalesce(2).write.mode("append").parquet(landing))
+        rep2 = run_snapshot_ingest(spark, landing, changelog,
+                                   query_name="s9_snapshot_stream")
+        if rep2["n_input_rows"] != n_v23 + n_base:
+            raise RuntimeError(
+                f"s9 drain 2 consumed {rep2['n_input_rows']} rows, expected "
+                f"the backfill's {n_v23 + n_base} exactly — incremental "
+                "resume regressed (reprocess or skip)")
+
+        n_log = spark.read.parquet(changelog).count()
+        if not (n_base <= n_log < 2 * n_base + n_v23):
+            raise RuntimeError(
+                f"s9 changelog holds {n_log} rows for {2 * n_base + n_v23} "
+                f"delivered — the stale filter emitted too much or lost "
+                "live revisions")
+
+        return (read_snapshot(spark, changelog)
+                .select("repo", "path", "commit",
+                        F.sha2("content", 256).alias("content_sha256"))
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _q_q9_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_detect_wide": _q_w1_detect_wide,
         "c1_curate_corpus": _q_c1_curate_corpus,
         "c2_decontaminate_corpus": _q_c2_decontaminate_corpus,
+        "s9_snapshot_stream": _q_s9_snapshot_stream,
         # green r5 only, rotated outside r6's window — rotate back in
         "s1_events_windowed": _q_ev_windowed,
         "s4_dedup_stream": _q_s4_dedup_stream,
@@ -1969,6 +2040,11 @@ def oracle_sql() -> dict[str, str]:
           FROM multi)
         WHERE rn = 1
     """
+    # s9 is the STREAMING route to the same snapshot: two checkpointed
+    # drains + stale suppression + merge-on-read must converge to what
+    # one batch window computes — so its oracle IS d10's, verbatim
+    # (one source, no drift).
+    out["s9_snapshot_stream"] = out["d10_latest_commit"]
 
     out["d11_boilerplate"] = """
         WITH src AS (

@@ -1,0 +1,152 @@
+"""s9 incremental snapshot ingest: streaming changelog + merge-on-read
+converges to batch ``latest_snapshot`` over the union of all delivered
+rows, stale re-deliveries are suppressed before hitting disk, and the
+null-commit guard fails a drain loudly."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from yalder_spark.fixtures.gen import gen_repos, repos_input
+
+
+def _revisions(n=120):
+    """Multi-commit history over the repos fixture: every row a base
+    commit, every 3rd path a v2, every 9th a v3.  Commits are md5 of a
+    tag so the lexicographic winner VARIES per path (same recipe as
+    driver row d10)."""
+    base = repos_input(gen_repos(n, 42)).head(n).reset_index(drop=True)
+
+    def rev(tag, mask):
+        out = base[mask].copy()
+        out["commit"] = [hashlib.md5(f"{tag}@{p}".encode()).hexdigest()
+                         for p in out["path"]]
+        if tag != "doc":
+            out["content"] = out["content"] + f" {tag}"
+        return out
+
+    every = pd.Series(range(n))
+    return (rev("doc", every >= 0),
+            rev("v2", every % 3 == 0),
+            rev("v3", every % 9 == 0))
+
+
+def _drain(spark, landing, changelog, **kw):
+    from yalder_spark.streaming.snapshot_stream import run_snapshot_ingest
+
+    return run_snapshot_ingest(spark, landing, changelog, **kw)
+
+
+def _write_shard(spark, pdf, landing):
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(landing)
+
+
+def _snap_rows(df):
+    return sorted((r.repo, r.path, r.commit, r.content)
+                  for r in df.select("repo", "path", "commit",
+                                     "content").collect())
+
+
+def test_two_drain_converges_to_batch_snapshot(spark, tmp_path):
+    """Drain 1 = base commits; drain 2 backfills v2+v3 AND re-delivers
+    every base row (a re-ingest storm).  read_snapshot must equal batch
+    latest_snapshot over the union, row-identically."""
+    from yalder_spark.operators.repoops import latest_snapshot
+    from yalder_spark.streaming.snapshot_stream import read_snapshot
+
+    base, v2, v3 = _revisions()
+    landing = str(tmp_path / "landing")
+    changelog = str(tmp_path / "changelog")
+
+    _write_shard(spark, base, landing)
+    rep1 = _drain(spark, landing, changelog)
+    assert rep1["n_input_rows"] == len(base)
+    assert rep1["count_exact"]
+
+    backfill = pd.concat([v2, v3, base], ignore_index=True)
+    _write_shard(spark, backfill, landing)
+    rep2 = _drain(spark, landing, changelog)
+    assert rep2["n_input_rows"] == len(backfill)  # exactly the new shard
+
+    union = spark.createDataFrame(
+        pd.concat([base, v2, v3], ignore_index=True))
+    got = _snap_rows(read_snapshot(spark, changelog))
+    want = _snap_rows(latest_snapshot(union))
+    assert got == want
+    # suppression kept the changelog below delivered volume: the
+    # re-delivered base rows (and same-batch-superseded revisions)
+    # never hit disk
+    n_log = spark.read.parquet(changelog).count()
+    assert n_log < len(base) + len(backfill)
+    assert n_log >= len(base)
+
+
+def test_stale_redelivery_appends_nothing(spark, tmp_path):
+    """After the first drain, a second drain delivering only exact
+    duplicates and strictly-older commits adds ZERO changelog rows and
+    leaves the snapshot unchanged."""
+    from yalder_spark.streaming.snapshot_stream import read_snapshot
+
+    base, _, _ = _revisions(60)
+    base = base.copy()
+    base["commit"] = "b" + base["commit"]
+    landing = str(tmp_path / "landing")
+    changelog = str(tmp_path / "changelog")
+
+    _write_shard(spark, base, landing)
+    _drain(spark, landing, changelog)
+    n_log = spark.read.parquet(changelog).count()
+    snap_before = _snap_rows(read_snapshot(spark, changelog))
+
+    older = base.copy()
+    older["commit"] = "a" + base["commit"].str[1:]  # < every live commit
+    older["content"] = older["content"] + " ancient"
+    _write_shard(spark, pd.concat([base, older], ignore_index=True), landing)
+    rep = _drain(spark, landing, changelog)
+    assert rep["n_input_rows"] == 2 * len(base)  # delivered, then dropped
+
+    assert spark.read.parquet(changelog).count() == n_log
+    assert _snap_rows(read_snapshot(spark, changelog)) == snap_before
+
+
+def test_stateless_path_same_snapshot(spark, tmp_path):
+    """suppress_stale=False keeps the full delivery history in the
+    changelog; merge-on-read still returns the identical snapshot."""
+    from yalder_spark.operators.repoops import latest_snapshot
+    from yalder_spark.streaming.snapshot_stream import read_snapshot
+
+    base, v2, v3 = _revisions(60)
+    landing = str(tmp_path / "landing")
+    changelog = str(tmp_path / "changelog")
+
+    _write_shard(spark, base, landing)
+    _drain(spark, landing, changelog, suppress_stale=False)
+    _write_shard(spark, pd.concat([v2, v3, base], ignore_index=True), landing)
+    _drain(spark, landing, changelog, suppress_stale=False)
+
+    # append-only: every delivered row is in the changelog
+    assert spark.read.parquet(changelog).count() == 2 * len(base) + len(v2) + len(v3)
+
+    union = spark.createDataFrame(pd.concat([base, v2, v3],
+                                            ignore_index=True))
+    assert _snap_rows(read_snapshot(spark, changelog)) == \
+        _snap_rows(latest_snapshot(union))
+
+
+def test_null_commit_fails_drain_loudly(spark, tmp_path):
+    base, _, _ = _revisions(20)
+    base.loc[3, "commit"] = None
+    landing = str(tmp_path / "landing")
+
+    _write_shard(spark, base, landing)
+    with pytest.raises(Exception, match="(?i)assert|null"):
+        _drain(spark, landing, str(tmp_path / "changelog"))
+
+
+def test_missing_required_column_rejected(spark, tmp_path):
+    base, _, _ = _revisions(10)
+    landing = str(tmp_path / "landing")
+    _write_shard(spark, base.drop(columns=["commit"]), landing)
+    with pytest.raises(ValueError, match="commit"):
+        _drain(spark, landing, str(tmp_path / "changelog"))

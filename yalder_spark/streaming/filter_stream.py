@@ -42,7 +42,7 @@ from pyspark.sql.streaming import StreamingQueryListener
 from ..operators.filter import FilterConfig, quality_filter
 from ..operators.model import LanguageModel
 
-__all__ = ["run_filter_stream"]
+__all__ = ["run_filter_stream", "pin_stream_schema"]
 
 
 class _ProgressCounter(StreamingQueryListener):
@@ -114,6 +114,43 @@ def _one_data_file(spark: SparkSession, path: str) -> str | None:
     return None
 
 
+def pin_stream_schema(spark: SparkSession, input_path: str,
+                      checkpoint: str) -> "StructType":
+    """Pin a file-stream's input schema once per (input, checkpoint).
+
+    File streams need an explicit schema.  The FIRST drain pins it from
+    one shard's footer and persists it as a sidecar next to the
+    checkpoint; later drains read the sidecar — so a resume works even
+    when the landing dir is momentarily EMPTY of data files (the normal
+    state right after ``compact_landing_dir``), and no footer is
+    re-read per drain.  Shared by every incremental-ingest job in this
+    package (filter s8, snapshot s9)."""
+    from ..sources.io import read_text_any_fs, write_text_any_fs
+    from pyspark.sql.types import StructType
+
+    schema_sidecar = os.path.join(checkpoint, "_yalder_input_schema.json")
+    sidecar_text = read_text_any_fs(spark, schema_sidecar)
+    schema = None
+    if sidecar_text is not None:
+        try:
+            schema = StructType.fromJson(json.loads(sidecar_text))
+        except (ValueError, KeyError, TypeError):
+            # fs.create() makes the file before the bytes land, so a
+            # crash mid-first-drain can leave an empty/truncated
+            # sidecar — re-pin from a footer and overwrite rather than
+            # bricking every future resume on a JSON parse error
+            schema = None
+    if schema is None:
+        first = _one_data_file(spark, input_path)
+        if first is None:
+            raise FileNotFoundError(
+                f"no parquet shard under {input_path} to pin the stream "
+                "schema from — the first drain needs at least one file")
+        schema = spark.read.parquet(first).schema
+        write_text_any_fs(spark, schema_sidecar, json.dumps(schema.jsonValue()))
+    return schema
+
+
 def run_filter_stream(spark: SparkSession, input_path: str,
                       output_path: str,
                       model: LanguageModel | str,
@@ -148,35 +185,7 @@ def run_filter_stream(spark: SparkSession, input_path: str,
     config = config or FilterConfig()
     checkpoint = checkpoint or os.path.join(output_path, "_checkpoint")
 
-    # File streams need an explicit schema.  The FIRST drain pins it
-    # from one shard's footer and persists it as a sidecar next to the
-    # checkpoint; later drains read the sidecar — so a resume works
-    # even when the landing dir is momentarily EMPTY of data files
-    # (the normal state right after compact_landing_dir), and no
-    # footer is re-read per drain.
-    from ..sources.io import read_text_any_fs, write_text_any_fs
-    from pyspark.sql.types import StructType
-
-    schema_sidecar = os.path.join(checkpoint, "_yalder_input_schema.json")
-    sidecar_text = read_text_any_fs(spark, schema_sidecar)
-    schema = None
-    if sidecar_text is not None:
-        try:
-            schema = StructType.fromJson(json.loads(sidecar_text))
-        except (ValueError, KeyError, TypeError):
-            # fs.create() makes the file before the bytes land, so a
-            # crash mid-first-drain can leave an empty/truncated
-            # sidecar — re-pin from a footer and overwrite rather than
-            # bricking every future resume on a JSON parse error
-            schema = None
-    if schema is None:
-        first = _one_data_file(spark, input_path)
-        if first is None:
-            raise FileNotFoundError(
-                f"no parquet shard under {input_path} to pin the stream "
-                "schema from — the first drain needs at least one file")
-        schema = spark.read.parquet(first).schema
-        write_text_any_fs(spark, schema_sidecar, json.dumps(schema.jsonValue()))
+    schema = pin_stream_schema(spark, input_path, checkpoint)
 
     # maxFileAge default is 7d: a shard BACKFILLED with an old mtime
     # (rsync -a / distcp of an old export) would be silently ignored on

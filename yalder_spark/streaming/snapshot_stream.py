@@ -1,0 +1,202 @@
+"""Incremental repo-snapshot ingest (SURVEY §2 row s9): the streaming
+counterpart of d10 ``latest_snapshot``.
+
+The batch operator collapses a multi-commit repo table to one row per
+(repo, path) — the file's latest revision.  At ingest time the natural
+production shape is a CHANGELOG: commit batches land continuously as
+parquet shards (pushes, re-ingests, backfills), and the snapshot must
+stay queryable without re-scanning history.  This module implements the
+merge-on-read pattern every table format (Iceberg/Delta/Hudi) uses for
+upserts, from public Spark primitives only:
+
+* **write path** — ``run_snapshot_ingest``: a checkpointed file stream
+  appends arriving rows to a changelog directory, exactly once across
+  invocations (source checkpoint + sink ``_spark_metadata`` commit log,
+  same machinery as ``run_filter_stream``).  An optional stateful
+  filter (``suppress_stale=True``, ``applyInPandasWithState`` keyed on
+  (repo, path); state = the best (commit, sha256) pair seen) drops
+  rows that cannot change the snapshot — a re-delivered old commit, an
+  exact duplicate row — before they hit disk, so re-ingest storms do
+  not grow the changelog.  The ordering rule is EXACTLY d10's window
+  order (commit DESC, sha256(content) DESC), so suppression can never
+  change what merge-on-read returns, only how many superseded rows it
+  has to skip.
+* **read path** — ``read_snapshot``: read the changelog through the
+  sink commit log and apply the batch ``latest_snapshot`` window.  One
+  (repo, path)-keyed shuffle, no state, no custom file format.
+
+Convergence invariant (pinned by tests and driver row s9): after any
+sequence of drains over any shard arrival order, ``read_snapshot``
+equals batch ``latest_snapshot`` over the union of all input rows —
+the streaming path can reorder and suppress, but never diverge.
+
+100 TB notes: the stateless path is append-only and shuffle-free; the
+stateful path keeps ONE (commit, sha) pair per live (repo, path) — the
+theoretical minimum to decide staleness, same growth law as the file
+tree itself (use RocksDB state store at 10^9 paths, or shard the
+stream by repo prefix).  The changelog grows with EMITTED revisions,
+not deliveries; when its superseded fraction gets large, compact it by
+rewriting ``read_snapshot`` output as a new base (offline, between
+drains — the same generation pattern as ``compact_landing_dir``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..operators.repoops import latest_snapshot
+from .filter_stream import _ProgressCounter, pin_stream_schema
+
+__all__ = ["run_snapshot_ingest", "read_snapshot"]
+
+_SHA_COL = "content_sha256"
+
+
+def _suppress_stale(stream_df: DataFrame, out_struct: StructType,
+                    commit_col: str) -> DataFrame:
+    """Per (repo, path): emit the batch's best (commit, sha) row iff it
+    beats the best ever emitted (kept in the state store); drop
+    everything else.  The comparison tuple mirrors d10's window order,
+    so a dropped row is provably superseded by an emitted one."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        best = None
+        for pdf in pdfs:
+            row = pdf.sort_values([commit_col, _SHA_COL],
+                                  ascending=False).iloc[0]
+            if best is None or (row[commit_col], row[_SHA_COL]) > \
+                    (best[commit_col], best[_SHA_COL]):
+                best = row
+        cand = (best[commit_col], best[_SHA_COL])
+        if state.exists and cand <= tuple(state.get):
+            return  # superseded by (or equal to) an already-emitted row
+        state.update(cand)
+        # reindex so column order always matches out_struct, whatever
+        # order the pandas row dict carried
+        yield pd.DataFrame([best.to_dict()])[[f.name for f in
+                                              out_struct.fields]]
+
+    return (stream_df.groupBy("repo", "path")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=out_struct,
+                stateStructType="best_commit string, best_sha string",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))
+
+
+def run_snapshot_ingest(spark: SparkSession, input_path: str,
+                        changelog_path: str,
+                        checkpoint: str | None = None,
+                        commit_col: str = "commit",
+                        content_col: str = "content",
+                        suppress_stale: bool = True,
+                        max_files_per_trigger: int | None = None,
+                        max_file_age: str = "3650d",
+                        query_name: str = "yalder_snapshot_stream") -> dict:
+    """Drain every not-yet-processed shard under ``input_path`` into the
+    snapshot changelog at ``changelog_path``, exactly once across
+    invocations, and return a report dict.
+
+    Input shards must carry ``repo``, ``path``, ``commit_col`` and
+    ``content_col`` (extra columns ride along into the changelog);
+    ``content_sha256`` is added JVM-side before any Python stage.
+    ``commit_col``/``content_col`` must be non-null — a null commit or
+    content has no position in d10's total order, so rows carrying one
+    are rejected loudly up front rather than silently mis-ranked.
+
+    The checkpoint defaults to ``<changelog>/_checkpoint`` so the pair
+    travels together; ``max_file_age`` guards the source's 7-day
+    default from silently skipping backfilled shards (see
+    ``run_filter_stream``).  The drain blocks (AvailableNow), stops the
+    query, and reports input/emit counts with the same listener-exact
+    machinery as the filter job.
+    """
+    checkpoint = checkpoint or os.path.join(changelog_path, "_checkpoint")
+    schema = pin_stream_schema(spark, input_path, checkpoint)
+    in_names = {f.name for f in schema.fields}
+    missing = {c for c in ("repo", "path", commit_col, content_col)
+               if c not in in_names}
+    if missing:
+        raise ValueError(
+            f"snapshot ingest input at {input_path} lacks required "
+            f"column(s) {sorted(missing)} (schema: {sorted(in_names)})")
+
+    reader = spark.readStream.schema(schema).option("maxFileAge", max_file_age)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src: DataFrame = reader.parquet(input_path)
+
+    # null commit/content would sort as "less than everything" in ways
+    # that differ between pandas and the JVM window — fail the drain
+    # loudly instead.  assert_true returns NULL on success, so phrasing
+    # it as a filter condition keeps every valid row AND survives
+    # column pruning (a projected-then-dropped assert column would be
+    # optimized away).
+    guarded = src.filter(
+        F.assert_true(F.col(commit_col).isNotNull()
+                      & F.col(content_col).isNotNull(),
+                      F.lit(f"s9: null {commit_col}/{content_col} row has no "
+                            "position in the snapshot order")).isNull())
+    stream_df = guarded.withColumn(
+        _SHA_COL, F.sha2(F.col(content_col), 256))
+
+    if suppress_stale:
+        out_struct = StructType(
+            list(schema.fields) + [StructField(_SHA_COL, StringType(), True)])
+        stream_df = _suppress_stale(stream_df, out_struct, commit_col)
+
+    counter = _ProgressCounter()
+    spark.streams.addListener(counter)
+    try:
+        q = (stream_df.writeStream.format("parquet")
+             .option("path", changelog_path)
+             .option("checkpointLocation", checkpoint)
+             .outputMode("append")
+             .queryName(query_name)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        rid = str(q.runId)
+        exact = counter.wait_terminated(rid)
+        if exact:
+            filled = [n for n in counter.batches.get(rid, []) if n > 0]
+        else:
+            filled = [int(p["numInputRows"]) for p in q.recentProgress
+                      if int(p["numInputRows"]) > 0]
+    finally:
+        spark.streams.removeListener(counter)
+    return {
+        "query_name": query_name,
+        "input": input_path,
+        "changelog": changelog_path,
+        "checkpoint": checkpoint,
+        "n_input_rows": sum(filled),
+        "n_batches": len(filled),
+        "count_exact": exact,
+        "suppress_stale": suppress_stale,
+    }
+
+
+def read_snapshot(spark: SparkSession, changelog_path: str,
+                  commit_col: str = "commit",
+                  content_col: str = "content") -> DataFrame:
+    """Merge-on-read: the latest snapshot implied by the changelog.
+
+    Reads through the sink's ``_spark_metadata`` commit log (partially
+    written triggers stay invisible) and applies the SAME window rule
+    as batch d10, so the result is row-identical to running
+    ``latest_snapshot`` over the union of every ingested revision —
+    regardless of drain count, shard order, or stale suppression."""
+    log = spark.read.parquet(changelog_path)
+    return latest_snapshot(log, commit_col=commit_col,
+                           content_col=content_col)
