@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Production entry point: incremental repo-snapshot ingest (s9).
+
+    spark-submit --py-files dist/yalder_spark.zip scripts/run_snapshot.py \
+        --input <landing_dir> --changelog <dir> \
+        [--checkpoint <dir>] [--no-suppress-stale] \
+        [--write-snapshot <dir>] [--master local[32]]
+
+One invocation = one drain: every shard that landed under ``--input``
+since the last run is appended to the snapshot changelog exactly once
+(Structured Streaming checkpoint + sink commit log).  Stale
+re-deliveries — old commits, exact duplicates — are dropped by a
+stateful filter before hitting disk unless ``--no-suppress-stale``
+(append-only history; same final snapshot either way).  Re-invoke on a
+cron for continuous ingest; ``--write-snapshot`` additionally
+materializes the merged latest-commit table (merge-on-read collapsed
+to parquet — a base generation for downstream batch jobs).
+
+When invoked with plain ``python`` (no spark-submit), it builds the
+py-files zip itself and ships it via ``addPyFile`` so executors can
+import ``yalder_spark`` regardless of cwd (the stale filter is a
+Python stateful stage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from run_filter import build_pyfiles_zip  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="landing directory where commit shards arrive "
+                         "(parquet with repo/path/commit/content columns)")
+    ap.add_argument("--changelog", required=True,
+                    help="snapshot changelog directory (the exactly-once "
+                         "sink; read it back via read_snapshot)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint dir (default "
+                         "<changelog>/_checkpoint)")
+    ap.add_argument("--commit-col", default="commit")
+    ap.add_argument("--content-col", default="content")
+    ap.add_argument("--no-suppress-stale", action="store_true",
+                    help="append every delivered row to the changelog "
+                         "instead of dropping provably-superseded ones "
+                         "(no state store; more read amplification)")
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--max-file-age", default=None,
+                    help="streaming source maxFileAge (default 3650d "
+                         "never skips a backfilled shard; see SCALE.md "
+                         "for when a small value is safe)")
+    ap.add_argument("--write-snapshot", default=None, metavar="DIR",
+                    help="after the drain, also materialize the merged "
+                         "latest-commit snapshot to DIR (overwrite) — "
+                         "must lie outside --input and --changelog")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    # arg-vs-arg validation BEFORE the (expensive) JVM spin-up: a
+    # snapshot materialized into either streaming-owned directory would
+    # be re-ingested as a shard (input) or shadow the commit log
+    # (changelog)
+    if args.write_snapshot is not None:
+        snap = os.path.abspath(args.write_snapshot).rstrip("/") + "/"
+        for flag, path in (("--input", args.input),
+                           ("--changelog", args.changelog)):
+            owned = os.path.abspath(path).rstrip("/") + "/"
+            if snap.startswith(owned) or owned.startswith(snap):
+                ap.error(f"--write-snapshot must lie outside {flag} "
+                         f"({path}) — it would be re-ingested or shadow "
+                         "the commit log")
+
+    from yalder_spark.pipeline import build_session
+    from yalder_spark.streaming.snapshot_stream import (read_snapshot,
+                                                        run_snapshot_ingest)
+
+    spark = build_session("yalder-snapshot", master=args.master,
+                          shuffle_partitions=args.shuffle_partitions)
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
+
+    kwargs = {}
+    if args.max_file_age is not None:
+        kwargs["max_file_age"] = args.max_file_age
+    report = run_snapshot_ingest(
+        spark, args.input, args.changelog,
+        checkpoint=args.checkpoint,
+        commit_col=args.commit_col, content_col=args.content_col,
+        suppress_stale=not args.no_suppress_stale,
+        max_files_per_trigger=args.max_files_per_trigger,
+        **kwargs)
+
+    if args.write_snapshot is not None:
+        snap_df = read_snapshot(spark, args.changelog,
+                                commit_col=args.commit_col,
+                                content_col=args.content_col)
+        snap_df.write.mode("overwrite").parquet(args.write_snapshot)
+        report["snapshot_out"] = args.write_snapshot
+        report["n_snapshot_rows"] = (
+            spark.read.parquet(args.write_snapshot).count())
+
+    exact = "" if report["count_exact"] else " (count inexact)"
+    print(f"snapshot drain: rows={report['n_input_rows']} "
+          f"batches={report['n_batches']}{exact}", file=sys.stderr)
+    print(json.dumps(report, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

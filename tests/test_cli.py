@@ -240,3 +240,72 @@ def test_run_curate_cli(cli_input, tmp_path):
     got = pd.read_parquet(out)
     assert len(got) == stats["n_curated"]
     assert got["keep"].all()
+
+
+def test_run_snapshot_cli(tmp_path, spark):
+    """Two cross-process drains of the snapshot ingest CLI: drain 1
+    ingests base commits, drain 2 a backfill of re-commits + a full
+    stale re-delivery, then --write-snapshot materializes the merged
+    latest-commit table — which must equal batch latest_snapshot over
+    the union (the s9 convergence invariant, proven across real
+    processes + the py-files zip path here)."""
+    import hashlib
+
+    from yalder_spark.fixtures.gen import gen_repos, repos_input
+    from yalder_spark.operators.repoops import latest_snapshot
+
+    base = repos_input(gen_repos(120, 42)).head(120).reset_index(drop=True)
+    v2 = base.iloc[::3].copy()
+    v2["commit"] = [hashlib.md5(f"v2@{p}".encode()).hexdigest()
+                    for p in v2["path"]]
+    v2["content"] = v2["content"] + " v2"
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    base.to_parquet(os.path.join(landing, "shard0.parquet"))
+    changelog = str(tmp_path / "changelog")
+
+    args = ("run_snapshot.py", "--input", landing,
+            "--changelog", changelog, "--master", "local[4]",
+            "--shuffle-partitions", "4")
+    rep1 = json.loads(_run_cli(*args).strip().splitlines()[-1])
+    assert rep1["n_input_rows"] == len(base)
+
+    pd.concat([v2, base], ignore_index=True).to_parquet(
+        os.path.join(landing, "shard1.parquet"))
+    snap_dir = str(tmp_path / "snapshot")
+    rep2 = json.loads(_run_cli(
+        *args, "--write-snapshot", snap_dir).strip().splitlines()[-1])
+    assert rep2["n_input_rows"] == len(v2) + len(base)
+    assert rep2["n_snapshot_rows"] == len(base)
+
+    union = spark.createDataFrame(
+        pd.concat([base, v2], ignore_index=True))
+    want = sorted((r.repo, r.path, r.commit, r.content)
+                  for r in latest_snapshot(union).collect())
+    got_pdf = pd.read_parquet(snap_dir)
+    got = sorted(zip(got_pdf["repo"], got_pdf["path"],
+                     got_pdf["commit"], got_pdf["content"]))
+    assert got == want
+    # stale suppression survived the process boundary: the re-delivered
+    # base rows added at most the genuinely-new revisions (read via
+    # spark.read — pandas chokes on _checkpoint/_spark_metadata)
+    assert spark.read.parquet(changelog).count() <= len(base) + len(v2)
+
+
+def test_run_snapshot_cli_rejects_nested_snapshot(tmp_path):
+    """--write-snapshot inside --input or --changelog errors fast
+    (exit 2, before the JVM): the snapshot would be re-ingested as a
+    shard or shadow the sink commit log."""
+    for snap in (str(tmp_path / "landing" / "snap"),
+                 str(tmp_path / "changelog"),
+                 str(tmp_path)):  # parent of both: changelog inside it
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "run_snapshot.py"),
+             "--input", str(tmp_path / "landing"),
+             "--changelog", str(tmp_path / "changelog"),
+             "--write-snapshot", snap],
+            capture_output=True, text=True, timeout=60)
+        assert proc.returncode == 2, (snap, proc.stderr[-500:])
+        assert "usage:" in proc.stderr
