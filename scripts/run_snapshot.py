@@ -66,16 +66,29 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
-    # arg-vs-arg validation BEFORE the (expensive) JVM spin-up: a
-    # snapshot materialized into either streaming-owned directory would
-    # be re-ingested as a shard (input) or shadow the commit log
+    # arg-vs-arg validation BEFORE the (expensive) JVM spin-up.
+    # realpath, not abspath: a symlinked 'elsewhere' that resolves
+    # inside a streaming-owned dir must not defeat the guard.
+    def _norm(p: str) -> str:
+        return os.path.realpath(p).rstrip("/") + "/"
+
+    def _overlap(a: str, b: str) -> bool:
+        return _norm(a).startswith(_norm(b)) or _norm(b).startswith(_norm(a))
+
+    # the changelog inside the landing dir is a feedback loop (drain
+    # N's output re-ingested as drain N+1's input); the landing dir
+    # inside the changelog shadows the sink commit log.  The library
+    # re-checks this, but failing here is pre-JVM (exit 2, fast).
+    if _overlap(args.input, args.changelog):
+        ap.error("--input and --changelog must not contain each other "
+                 "— a nested changelog is re-ingested as input shards")
+    # a snapshot materialized into either streaming-owned directory
+    # would be re-ingested as a shard (input) or shadow the commit log
     # (changelog)
     if args.write_snapshot is not None:
-        snap = os.path.abspath(args.write_snapshot).rstrip("/") + "/"
         for flag, path in (("--input", args.input),
                            ("--changelog", args.changelog)):
-            owned = os.path.abspath(path).rstrip("/") + "/"
-            if snap.startswith(owned) or owned.startswith(snap):
+            if _overlap(args.write_snapshot, path):
                 ap.error(f"--write-snapshot must lie outside {flag} "
                          f"({path}) — it would be re-ingested or shadow "
                          "the commit log")

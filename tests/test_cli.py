@@ -293,19 +293,38 @@ def test_run_snapshot_cli(tmp_path, spark):
     assert spark.read.parquet(changelog).count() <= len(base) + len(v2)
 
 
-def test_run_snapshot_cli_rejects_nested_snapshot(tmp_path):
-    """--write-snapshot inside --input or --changelog errors fast
-    (exit 2, before the JVM): the snapshot would be re-ingested as a
-    shard or shadow the sink commit log."""
-    for snap in (str(tmp_path / "landing" / "snap"),
-                 str(tmp_path / "changelog"),
-                 str(tmp_path)):  # parent of both: changelog inside it
-        proc = subprocess.run(
+def test_run_snapshot_cli_rejects_nested_dirs(tmp_path):
+    """Directory-containment validation errors fast (exit 2, before
+    the JVM): --write-snapshot inside --input/--changelog would be
+    re-ingested as a shard or shadow the sink commit log, and
+    --changelog inside --input is a drain-to-drain feedback loop
+    (review: the pair check was missing in the first draft)."""
+    landing = str(tmp_path / "landing")
+    changelog = str(tmp_path / "changelog")
+
+    def run(*extra):
+        return subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts",
-                                          "run_snapshot.py"),
-             "--input", str(tmp_path / "landing"),
-             "--changelog", str(tmp_path / "changelog"),
-             "--write-snapshot", snap],
+                                          "run_snapshot.py"), *extra],
             capture_output=True, text=True, timeout=60)
+
+    for snap in (os.path.join(landing, "snap"), changelog,
+                 str(tmp_path)):  # parent of both: changelog inside it
+        proc = run("--input", landing, "--changelog", changelog,
+                   "--write-snapshot", snap)
         assert proc.returncode == 2, (snap, proc.stderr[-500:])
         assert "usage:" in proc.stderr
+
+    for inp, log in ((landing, os.path.join(landing, "changelog")),
+                     (os.path.join(changelog, "landing"), changelog)):
+        proc = run("--input", inp, "--changelog", log)
+        assert proc.returncode == 2, (inp, log, proc.stderr[-500:])
+        assert "contain each other" in proc.stderr
+
+    # a symlink resolving inside the landing dir must not slip through
+    os.makedirs(landing)
+    link = str(tmp_path / "elsewhere")
+    os.symlink(os.path.join(landing, "snapdir"), link)
+    proc = run("--input", landing, "--changelog", changelog,
+               "--write-snapshot", link)
+    assert proc.returncode == 2, proc.stderr[-500:]

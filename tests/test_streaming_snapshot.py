@@ -144,9 +144,65 @@ def test_null_commit_fails_drain_loudly(spark, tmp_path):
         _drain(spark, landing, str(tmp_path / "changelog"))
 
 
-def test_missing_required_column_rejected(spark, tmp_path):
+def test_missing_required_column_rejected_without_bricking(spark, tmp_path):
+    """A malformed FIRST shard fails the drain loudly — and must not
+    poison the checkpoint: the schema sidecar is only persisted after
+    validation, so fixing the landing dir and re-invoking just works
+    (review: a post-persist check would brick every future resume)."""
+    import shutil
+
     base, _, _ = _revisions(10)
     landing = str(tmp_path / "landing")
+    changelog = str(tmp_path / "changelog")
     _write_shard(spark, base.drop(columns=["commit"]), landing)
     with pytest.raises(ValueError, match="commit"):
-        _drain(spark, landing, str(tmp_path / "changelog"))
+        _drain(spark, landing, changelog)
+
+    # operator fixes the landing dir (replaces the bad shard) and
+    # re-invokes the SAME (changelog, checkpoint) pair
+    shutil.rmtree(landing)
+    _write_shard(spark, base, landing)
+    rep = _drain(spark, landing, changelog)
+    assert rep["n_input_rows"] == len(base)
+
+
+def test_nested_changelog_rejected(spark, tmp_path):
+    """A changelog inside the landing dir would be re-ingested as input
+    shards (feedback loop) — refused up front, and symmetrically for a
+    landing dir inside the changelog."""
+    base, _, _ = _revisions(10)
+    landing = str(tmp_path / "landing")
+    _write_shard(spark, base, landing)
+    with pytest.raises(ValueError, match="contain each other"):
+        _drain(spark, landing, f"{landing}/changelog")
+    with pytest.raises(ValueError, match="contain each other"):
+        _drain(spark, f"{tmp_path}/changelog/landing",
+               str(tmp_path / "changelog"))
+
+
+def test_nonstring_commit_needs_stateless_path(spark, tmp_path):
+    """suppress_stale's state store is string-typed (d10's
+    content-addressed commit contract): a numeric revision column is
+    refused with a pointer to suppress_stale=False — which must then
+    produce the correct snapshot (numeric max per (repo, path))."""
+    from yalder_spark.streaming.snapshot_stream import read_snapshot
+
+    base, _, _ = _revisions(30)
+    ver = base.copy()
+    ver["commit"] = 1
+    v2 = ver.iloc[::3].copy()
+    v2["commit"] = 2
+    v2["content"] = v2["content"] + " rev2"
+    landing = str(tmp_path / "landing")
+    changelog = str(tmp_path / "changelog")
+    _write_shard(spark, pd.concat([ver, v2], ignore_index=True), landing)
+
+    with pytest.raises(ValueError, match="suppress_stale"):
+        _drain(spark, landing, changelog)
+
+    rep = _drain(spark, landing, changelog, suppress_stale=False)
+    assert rep["n_input_rows"] == len(ver) + len(v2)
+    snap = read_snapshot(spark, changelog).toPandas()
+    assert len(snap) == len(ver)
+    got_rev2 = set(snap.loc[snap["commit"] == 2, "path"])
+    assert got_rev2 == set(v2["path"])

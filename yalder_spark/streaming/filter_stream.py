@@ -42,7 +42,7 @@ from pyspark.sql.streaming import StreamingQueryListener
 from ..operators.filter import FilterConfig, quality_filter
 from ..operators.model import LanguageModel
 
-__all__ = ["run_filter_stream", "pin_stream_schema"]
+__all__ = ["run_filter_stream", "pin_stream_schema", "drain_available_now"]
 
 
 class _ProgressCounter(StreamingQueryListener):
@@ -115,7 +115,7 @@ def _one_data_file(spark: SparkSession, path: str) -> str | None:
 
 
 def pin_stream_schema(spark: SparkSession, input_path: str,
-                      checkpoint: str) -> "StructType":
+                      checkpoint: str, required_cols=()) -> "StructType":
     """Pin a file-stream's input schema once per (input, checkpoint).
 
     File streams need an explicit schema.  The FIRST drain pins it from
@@ -124,9 +124,26 @@ def pin_stream_schema(spark: SparkSession, input_path: str,
     when the landing dir is momentarily EMPTY of data files (the normal
     state right after ``compact_landing_dir``), and no footer is
     re-read per drain.  Shared by every incremental-ingest job in this
-    package (filter s8, snapshot s9)."""
+    package (filter s8, snapshot s9).
+
+    ``required_cols`` are validated BEFORE the sidecar is persisted: a
+    malformed first shard must fail the drain without poisoning the
+    checkpoint, so fixing the landing dir and re-invoking just works
+    (a post-persist check would brick every future resume on the bad
+    pinned schema).  A sidecar-loaded schema is validated too — a
+    caller passing a different column name on a later drain gets the
+    same loud error."""
     from ..sources.io import read_text_any_fs, write_text_any_fs
     from pyspark.sql.types import StructType
+
+    def check(schema, origin: str):
+        missing = [c for c in required_cols
+                   if c not in {f.name for f in schema.fields}]
+        if missing:
+            raise ValueError(
+                f"stream input at {input_path} lacks required column(s) "
+                f"{missing} (schema from {origin}: "
+                f"{sorted(f.name for f in schema.fields)})")
 
     schema_sidecar = os.path.join(checkpoint, "_yalder_input_schema.json")
     sidecar_text = read_text_any_fs(spark, schema_sidecar)
@@ -140,6 +157,8 @@ def pin_stream_schema(spark: SparkSession, input_path: str,
             # sidecar — re-pin from a footer and overwrite rather than
             # bricking every future resume on a JSON parse error
             schema = None
+        else:
+            check(schema, "checkpoint sidecar")
     if schema is None:
         first = _one_data_file(spark, input_path)
         if first is None:
@@ -147,8 +166,45 @@ def pin_stream_schema(spark: SparkSession, input_path: str,
                 f"no parquet shard under {input_path} to pin the stream "
                 "schema from — the first drain needs at least one file")
         schema = spark.read.parquet(first).schema
+        check(schema, f"footer of {first}")
         write_text_any_fs(spark, schema_sidecar, json.dumps(schema.jsonValue()))
     return schema
+
+
+def drain_available_now(spark: SparkSession, writer):
+    """Start ``writer`` with an AvailableNow trigger, block until the
+    backlog drains, and return ``(filled, exact, observed)``: the
+    listener-exact per-batch input-row counts (>0 only), whether the
+    terminated event arrived (exact accounting past recentProgress's
+    ~100-entry buffer), and the rid-keyed observe() metric dicts.
+
+    ONE source for the drain/report machinery shared by every
+    incremental-ingest job (filter s8, snapshot s9) — this block has
+    absorbed two subtle fixes already (the bounded-buffer clipping,
+    the runId-vs-id stale-event race) and must never be hand-doubled
+    per job."""
+    counter = _ProgressCounter()
+    spark.streams.addListener(counter)
+    try:
+        q = writer.trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        rid = str(q.runId)
+        exact = counter.wait_terminated(rid)
+        if exact:
+            filled = [n for n in counter.batches.get(rid, []) if n > 0]
+        else:
+            # terminated event never arrived (shouldn't happen) — fall
+            # back to the bounded buffer and SAY SO rather than report
+            # a possibly-clipped count as exact
+            filled = [int(p["numInputRows"]) for p in q.recentProgress
+                      if int(p["numInputRows"]) > 0]
+        obs = counter.observed.get(rid, []) if exact else []
+    finally:
+        spark.streams.removeListener(counter)
+    return filled, exact, obs
 
 
 def run_filter_stream(spark: SparkSession, input_path: str,
@@ -222,27 +278,7 @@ def run_filter_stream(spark: SparkSession, input_path: str,
 
     # a listener sees every progress event, so the report stays exact
     # past recentProgress's ~100-entry buffer (ADVICE r5 #1)
-    counter = _ProgressCounter()
-    spark.streams.addListener(counter)
-    try:
-        q = writer.trigger(availableNow=True).start()
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
-        rid = str(q.runId)
-        exact = counter.wait_terminated(rid)
-        if exact:
-            filled = [n for n in counter.batches.get(rid, []) if n > 0]
-        else:
-            # terminated event never arrived (shouldn't happen) — fall
-            # back to the bounded buffer and SAY SO rather than report
-            # a possibly-clipped count as exact
-            filled = [int(p["numInputRows"]) for p in q.recentProgress
-                      if int(p["numInputRows"]) > 0]
-        obs = counter.observed.get(rid, []) if exact else []
-    finally:
-        spark.streams.removeListener(counter)
+    filled, exact, obs = drain_available_now(spark, writer)
     metrics = {k: sum(int(o[k] or 0) for o in obs)
                for k in ("n_rows", "n_keep", "pii_hits", "tox_hits")}
     metrics["n_drop"] = metrics["n_rows"] - metrics["n_keep"]

@@ -43,18 +43,31 @@ drains — the same generation pattern as ``compact_landing_dir``).
 from __future__ import annotations
 
 import os
-import time
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..operators.repoops import latest_snapshot
-from .filter_stream import _ProgressCounter, pin_stream_schema
+from .filter_stream import drain_available_now, pin_stream_schema
 
 __all__ = ["run_snapshot_ingest", "read_snapshot"]
 
 _SHA_COL = "content_sha256"
+
+
+def _norm_dir(p: str) -> str:
+    """Normalize a path for containment checks: resolve symlinks for
+    scheme-less local paths (a symlinked 'elsewhere' pointing inside
+    the landing dir must not defeat the guard), strip URI schemes
+    otherwise."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(p)
+    path = parsed.path or p
+    if not parsed.scheme or parsed.scheme == "file":
+        path = os.path.realpath(path)
+    return path.rstrip("/") + "/"
 
 
 def _suppress_stale(stream_df: DataFrame, out_struct: StructType,
@@ -119,15 +132,37 @@ def run_snapshot_ingest(spark: SparkSession, input_path: str,
     query, and reports input/emit counts with the same listener-exact
     machinery as the filter job.
     """
-    checkpoint = checkpoint or os.path.join(changelog_path, "_checkpoint")
-    schema = pin_stream_schema(spark, input_path, checkpoint)
-    in_names = {f.name for f in schema.fields}
-    missing = {c for c in ("repo", "path", commit_col, content_col)
-               if c not in in_names}
-    if missing:
+    # the changelog must not live inside the landing dir (its parquet
+    # output is not _/. prefixed, so the source's listing would pick it
+    # up and re-ingest drain N's output as drain N+1's input — a
+    # feedback loop), and the landing dir must not live inside the
+    # changelog (its shards would shadow the sink's commit-log reads)
+    in_norm, log_norm = _norm_dir(input_path), _norm_dir(changelog_path)
+    if in_norm.startswith(log_norm) or log_norm.startswith(in_norm):
         raise ValueError(
-            f"snapshot ingest input at {input_path} lacks required "
-            f"column(s) {sorted(missing)} (schema: {sorted(in_names)})")
+            f"changelog_path {changelog_path!r} and input_path "
+            f"{input_path!r} must not contain each other — a nested "
+            "changelog is re-ingested as input shards; a nested landing "
+            "dir shadows the sink commit log")
+
+    checkpoint = checkpoint or os.path.join(changelog_path, "_checkpoint")
+    # required columns are validated BEFORE the schema sidecar persists
+    # (a malformed first shard must not brick the checkpoint)
+    schema = pin_stream_schema(
+        spark, input_path, checkpoint,
+        required_cols=("repo", "path", commit_col, content_col))
+
+    if suppress_stale:
+        commit_type = schema[commit_col].dataType.simpleString()
+        if commit_type != "string":
+            raise ValueError(
+                f"suppress_stale needs a string {commit_col!r} column "
+                f"(got {commit_type}): the state store and the pandas "
+                "comparison are string-typed, matching d10's "
+                "content-addressed commit contract.  For a timestamp/"
+                "numeric revision column, pass suppress_stale=False — "
+                "merge-on-read alone is always correct — or cast the "
+                "column to a sortable string upstream")
 
     reader = spark.readStream.schema(schema).option("maxFileAge", max_file_age)
     if max_files_per_trigger is not None:
@@ -153,28 +188,13 @@ def run_snapshot_ingest(spark: SparkSession, input_path: str,
             list(schema.fields) + [StructField(_SHA_COL, StringType(), True)])
         stream_df = _suppress_stale(stream_df, out_struct, commit_col)
 
-    counter = _ProgressCounter()
-    spark.streams.addListener(counter)
-    try:
-        q = (stream_df.writeStream.format("parquet")
-             .option("path", changelog_path)
-             .option("checkpointLocation", checkpoint)
-             .outputMode("append")
-             .queryName(query_name)
-             .trigger(availableNow=True).start())
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
-        rid = str(q.runId)
-        exact = counter.wait_terminated(rid)
-        if exact:
-            filled = [n for n in counter.batches.get(rid, []) if n > 0]
-        else:
-            filled = [int(p["numInputRows"]) for p in q.recentProgress
-                      if int(p["numInputRows"]) > 0]
-    finally:
-        spark.streams.removeListener(counter)
+    writer = (stream_df.writeStream.format("parquet")
+              .option("path", changelog_path)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append")
+              .queryName(query_name))
+    # shared listener-exact drain machinery (one source with s8)
+    filled, exact, _ = drain_available_now(spark, writer)
     return {
         "query_name": query_name,
         "input": input_path,
