@@ -1002,7 +1002,11 @@ def _q_s9_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.coalesce(2).write.parquet(landing)
         n_base, n_v23 = base.count(), v2.count() + v3.count()
 
+        # suppress_stale explicitly ON: the driver row exercises the
+        # stateful path (the interesting one); the default is the
+        # cheap stateless append per BENCH/round7_snapshot.json
         rep1 = run_snapshot_ingest(spark, landing, changelog,
+                                   suppress_stale=True,
                                    query_name="s9_snapshot_stream")
         if rep1["n_input_rows"] != n_base:
             raise RuntimeError(
@@ -1014,6 +1018,7 @@ def _q_s9_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (v2.unionByName(v3).unionByName(base)
          .coalesce(2).write.mode("append").parquet(landing))
         rep2 = run_snapshot_ingest(spark, landing, changelog,
+                                   suppress_stale=True,
                                    query_name="s9_snapshot_stream")
         if rep2["n_input_rows"] != n_v23 + n_base:
             raise RuntimeError(

@@ -1,0 +1,177 @@
+"""Measure the incremental snapshot ingest (s9) in its production
+two-drain shape, stateful vs stateless, against the batch d10 route —
+quantify what the stale filter costs at write time and buys at read
+time.
+
+Workload (sf0.1 documents × MULT, repo-shaped — bench's own helper, so
+the corpus matches the headline filter bench): drain 1 = every base
+commit; drain 2 = a re-ingest storm (full stale re-delivery of the
+base rows) + v2 revisions for 1/3 of paths + v3 for 1/9 — the s9
+driver-row scenario at scale.  Timed variants, fresh changelog +
+checkpoint trees per attempt:
+
+  * stateful  — run_snapshot_ingest defaults (suppress_stale=True):
+                the applyInPandasWithState stage pays a (repo,path)
+                shuffle + Python workers + state store per drain;
+  * stateless — suppress_stale=False: append-only, shuffle-free
+                drains, every delivered row hits the changelog;
+  * batch_d10 — latest_snapshot over one batch read of ALL delivered
+                rows + parquet write: what one-shot batch costs for
+                the same snapshot (no incrementality).
+
+Plus merge-on-read timings: read_snapshot + checksum-count over each
+variant's changelog — the read-amplification side of the trade.  A
+per-attempt invariant cross-checks all three routes: identical
+snapshot row count AND identical sum(xxhash64(repo,path,commit,
+content)) checksum.
+
+Discipline per CLAUDE.md: untimed warm-up pass first, min-of-2 per
+variant, calibration probe recorded, run alone (no concurrent
+Spark/pytest).  Writes BENCH/round7_snapshot.json.
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MULT = int(os.environ.get("SPARK_GRAFT_MULT", "20"))  # 100k base paths
+N_SHARDS = 16
+WORK = "/tmp/measure_snapshot_stream"
+
+
+def main():
+    import bench
+    from pyspark.sql import functions as F
+    from yalder_spark.operators.repoops import latest_snapshot
+    from yalder_spark.streaming.snapshot_stream import (read_snapshot,
+                                                        run_snapshot_ingest)
+
+    spark = bench.build_bench_session(CPUS)
+
+    shutil.rmtree(WORK, ignore_errors=True)
+    base = bench._docs_repo_shaped(spark, SF_DIR, mult=MULT)
+
+    def rev(tag: str, mod: int):
+        return (base.filter(F.xxhash64("path") % mod == 0)
+                .withColumn("commit", F.sha2(
+                    F.concat(F.lit(tag + "@"), F.col("path")), 256
+                    ).substr(1, 40))
+                .withColumn("content",
+                            F.concat(F.col("content"), F.lit(" " + tag))))
+
+    # materialize the two delivery waves once; both variants and the
+    # batch route read the same files
+    wave1 = os.path.join(WORK, "wave1")
+    wave2 = os.path.join(WORK, "wave2")
+    base.coalesce(N_SHARDS).write.parquet(wave1)
+    (rev("v2", 3).unionByName(rev("v3", 9)).unionByName(
+        spark.read.parquet(wave1))
+     .coalesce(N_SHARDS).write.parquet(wave2))
+    n_base = spark.read.parquet(wave1).count()
+    n_wave2 = spark.read.parquet(wave2).count()
+
+    def checksum(df):
+        # bit_xor, not sum: order-independent AND overflow-free under
+        # ANSI mode (sum of 2^63-range hashes overflows long)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(repo, path, commit, content))"
+                   ).alias("x")).collect()[0]
+        return int(row["n"]), int(row["x"])
+
+    want = checksum(latest_snapshot(
+        spark.read.parquet(wave1).unionByName(spark.read.parquet(wave2))))
+
+    def stream_variant(tag: str, suppress: bool):
+        """Returns (t_drain1, t_drain2, changelog_rows, t_read)."""
+        tree = os.path.join(WORK, f"run_{tag}")
+        landing = os.path.join(tree, "landing")
+        changelog = os.path.join(tree, "changelog")
+        os.makedirs(landing)
+        for f in os.listdir(wave1):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(wave1, f),
+                        os.path.join(landing, f"w1_{f}"))
+        t0 = time.perf_counter()
+        rep1 = run_snapshot_ingest(spark, landing, changelog,
+                                   suppress_stale=suppress)
+        t1 = time.perf_counter() - t0
+        assert rep1["n_input_rows"] == n_base, rep1
+        for f in os.listdir(wave2):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(wave2, f),
+                        os.path.join(landing, f"w2_{f}"))
+        t0 = time.perf_counter()
+        rep2 = run_snapshot_ingest(spark, landing, changelog,
+                                   suppress_stale=suppress)
+        t2 = time.perf_counter() - t0
+        assert rep2["n_input_rows"] == n_wave2, rep2
+        n_log = spark.read.parquet(changelog).count()
+        t0 = time.perf_counter()
+        got = checksum(read_snapshot(spark, changelog))
+        t_read = time.perf_counter() - t0
+        assert got == want, (tag, got, want)
+        shutil.rmtree(tree, ignore_errors=True)
+        return t1, t2, n_log, t_read
+
+    def batch_variant(tag: str):
+        out = os.path.join(WORK, f"batch_{tag}")
+        t0 = time.perf_counter()
+        latest_snapshot(
+            spark.read.parquet(wave1).unionByName(
+                spark.read.parquet(wave2))).write.parquet(out)
+        t = time.perf_counter() - t0
+        got = checksum(spark.read.parquet(out))
+        assert got == want, (tag, got, want)
+        shutil.rmtree(out, ignore_errors=True)
+        return t
+
+    # warm-up (fresh-JVM cold start otherwise lands on the first
+    # variant timed; observed 32 s cold vs 12 s warm for equal work)
+    stream_variant("warm_stateful", True)
+    stream_variant("warm_stateless", False)
+    batch_variant("warm")
+
+    res = {}
+    for tag, suppress in (("stateful", True), ("stateless", False)):
+        best = None
+        for i in range(2):
+            got = stream_variant(f"{tag}_{i}", suppress)
+            best = got if best is None or got[0] + got[1] < \
+                best[0] + best[1] else best
+        res[tag] = {
+            "drain1_sec": round(best[0], 3),
+            "drain2_sec": round(best[1], 3),
+            "changelog_rows": best[2],
+            "merge_read_sec": round(best[3], 3),
+        }
+    res["batch_d10_sec"] = round(min(batch_variant(f"b{i}")
+                                     for i in range(2)), 3)
+
+    payload = {
+        "sf_dir": SF_DIR, "cpus": CPUS, "mult": MULT,
+        "n_base_paths": n_base, "n_wave2_rows": n_wave2,
+        "n_snapshot_rows": want[0],
+        "results": res,
+        "suppression_ratio": round(
+            1 - res["stateful"]["changelog_rows"]
+            / res["stateless"]["changelog_rows"], 3),
+        "calibration_probe_sec": bench._calibration_probe(),
+        "calibration_expected_sec": bench._CALIB_EXPECT_SEC,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/round7_snapshot.json", "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+    shutil.rmtree(WORK, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -266,8 +266,8 @@ def test_run_snapshot_cli(tmp_path, spark):
     changelog = str(tmp_path / "changelog")
 
     args = ("run_snapshot.py", "--input", landing,
-            "--changelog", changelog, "--master", "local[4]",
-            "--shuffle-partitions", "4")
+            "--changelog", changelog, "--suppress-stale",
+            "--master", "local[4]", "--shuffle-partitions", "4")
     rep1 = json.loads(_run_cli(*args).strip().splitlines()[-1])
     assert rep1["n_input_rows"] == len(base)
 

@@ -60,13 +60,13 @@ def test_two_drain_converges_to_batch_snapshot(spark, tmp_path):
     changelog = str(tmp_path / "changelog")
 
     _write_shard(spark, base, landing)
-    rep1 = _drain(spark, landing, changelog)
+    rep1 = _drain(spark, landing, changelog, suppress_stale=True)
     assert rep1["n_input_rows"] == len(base)
     assert rep1["count_exact"]
 
     backfill = pd.concat([v2, v3, base], ignore_index=True)
     _write_shard(spark, backfill, landing)
-    rep2 = _drain(spark, landing, changelog)
+    rep2 = _drain(spark, landing, changelog, suppress_stale=True)
     assert rep2["n_input_rows"] == len(backfill)  # exactly the new shard
 
     union = spark.createDataFrame(
@@ -95,7 +95,7 @@ def test_stale_redelivery_appends_nothing(spark, tmp_path):
     changelog = str(tmp_path / "changelog")
 
     _write_shard(spark, base, landing)
-    _drain(spark, landing, changelog)
+    _drain(spark, landing, changelog, suppress_stale=True)
     n_log = spark.read.parquet(changelog).count()
     snap_before = _snap_rows(read_snapshot(spark, changelog))
 
@@ -103,7 +103,7 @@ def test_stale_redelivery_appends_nothing(spark, tmp_path):
     older["commit"] = "a" + base["commit"].str[1:]  # < every live commit
     older["content"] = older["content"] + " ancient"
     _write_shard(spark, pd.concat([base, older], ignore_index=True), landing)
-    rep = _drain(spark, landing, changelog)
+    rep = _drain(spark, landing, changelog, suppress_stale=True)
     assert rep["n_input_rows"] == 2 * len(base)  # delivered, then dropped
 
     assert spark.read.parquet(changelog).count() == n_log
@@ -183,7 +183,7 @@ def test_nested_changelog_rejected(spark, tmp_path):
 def test_nonstring_commit_needs_stateless_path(spark, tmp_path):
     """suppress_stale's state store is string-typed (d10's
     content-addressed commit contract): a numeric revision column is
-    refused with a pointer to suppress_stale=False — which must then
+    refused with a pointer to the stateless default — which must then
     produce the correct snapshot (numeric max per (repo, path))."""
     from yalder_spark.streaming.snapshot_stream import read_snapshot
 
@@ -198,7 +198,7 @@ def test_nonstring_commit_needs_stateless_path(spark, tmp_path):
     _write_shard(spark, pd.concat([ver, v2], ignore_index=True), landing)
 
     with pytest.raises(ValueError, match="suppress_stale"):
-        _drain(spark, landing, changelog)
+        _drain(spark, landing, changelog, suppress_stale=True)
 
     rep = _drain(spark, landing, changelog, suppress_stale=False)
     assert rep["n_input_rows"] == len(ver) + len(v2)

@@ -12,7 +12,7 @@ upserts, from public Spark primitives only:
 * **write path** — ``run_snapshot_ingest``: a checkpointed file stream
   appends arriving rows to a changelog directory, exactly once across
   invocations (source checkpoint + sink ``_spark_metadata`` commit log,
-  same machinery as ``run_filter_stream``).  An optional stateful
+  same machinery as ``run_filter_stream``).  An OPT-IN stateful
   filter (``suppress_stale=True``, ``applyInPandasWithState`` keyed on
   (repo, path); state = the best (commit, sha256) pair seen) drops
   rows that cannot change the snapshot — a re-delivered old commit, an
@@ -20,7 +20,15 @@ upserts, from public Spark primitives only:
   not grow the changelog.  The ordering rule is EXACTLY d10's window
   order (commit DESC, sha256(content) DESC), so suppression can never
   change what merge-on-read returns, only how many superseded rows it
-  has to skip.
+  has to skip.  Opt-in, not the default, on measured evidence
+  (BENCH/round7_snapshot.json, 100k paths + a 44%-stale re-ingest
+  storm at local[32]): the per-key Python stage costs ~22.6 s across
+  the two drains where the stateless append costs 1.3 s, to save
+  0.7 s of merge-read and 52% of changelog rows — within-batch
+  framework overhead (~120 µs/key/drain), not our kernel.  It pays
+  when revisions-per-path × read frequency is high or changelog
+  storage is the binding constraint; the cheap default plus periodic
+  base compaction covers everything else.
 * **read path** — ``read_snapshot``: read the changelog through the
   sink commit log and apply the batch ``latest_snapshot`` window.  One
   (repo, path)-keyed shuffle, no state, no custom file format.
@@ -81,8 +89,12 @@ def _suppress_stale(stream_df: DataFrame, out_struct: StructType,
     def fn(key, pdfs, state: GroupState):
         best = None
         for pdf in pdfs:
-            row = pdf.sort_values([commit_col, _SHA_COL],
-                                  ascending=False).iloc[0]
+            # most keys deliver ONE row per batch — skip the sort there
+            # (the per-key framework overhead dominates this stage, see
+            # BENCH/round7_snapshot.json; our kernel should add nothing)
+            row = (pdf.iloc[0] if len(pdf) == 1
+                   else pdf.sort_values([commit_col, _SHA_COL],
+                                        ascending=False).iloc[0])
             if best is None or (row[commit_col], row[_SHA_COL]) > \
                     (best[commit_col], best[_SHA_COL]):
                 best = row
@@ -110,7 +122,7 @@ def run_snapshot_ingest(spark: SparkSession, input_path: str,
                         checkpoint: str | None = None,
                         commit_col: str = "commit",
                         content_col: str = "content",
-                        suppress_stale: bool = True,
+                        suppress_stale: bool = False,
                         max_files_per_trigger: int | None = None,
                         max_file_age: str = "3650d",
                         query_name: str = "yalder_snapshot_stream") -> dict:
@@ -160,9 +172,9 @@ def run_snapshot_ingest(spark: SparkSession, input_path: str,
                 f"(got {commit_type}): the state store and the pandas "
                 "comparison are string-typed, matching d10's "
                 "content-addressed commit contract.  For a timestamp/"
-                "numeric revision column, pass suppress_stale=False — "
-                "merge-on-read alone is always correct — or cast the "
-                "column to a sortable string upstream")
+                "numeric revision column, leave suppress_stale off "
+                "(the default) — merge-on-read alone is always correct "
+                "— or cast the column to a sortable string upstream")
 
     reader = spark.readStream.schema(schema).option("maxFileAge", max_file_age)
     if max_files_per_trigger is not None:
