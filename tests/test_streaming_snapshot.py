@@ -206,3 +206,70 @@ def test_nonstring_commit_needs_stateless_path(spark, tmp_path):
     assert len(snap) == len(ver)
     got_rev2 = set(snap.loc[snap["commit"] == 2, "path"])
     assert got_rev2 == set(v2["path"])
+
+
+def test_generation_rotation_full_lifecycle(spark, tmp_path):
+    """The bounded-growth loop: drain gen-1 → rotate (compact landing,
+    materialize base, retire the old changelog) → drain gen-2 from a
+    FRESH checkpoint — which must consume ONLY the post-rotation
+    shards — → merge-on-read over (base, new changelog) equals batch
+    latest_snapshot over everything ever delivered.  Also pins the
+    overlap-harmlessness claim: reading the OLD changelog alongside
+    the base it was folded into changes nothing."""
+    from yalder_spark.operators.repoops import latest_snapshot
+    from yalder_spark.streaming.snapshot_stream import (
+        read_snapshot, rotate_snapshot_generation)
+
+    base, v2, v3 = _revisions(90)
+    landing = str(tmp_path / "landing")
+    gen1 = str(tmp_path / "gen1")
+    gen2 = str(tmp_path / "gen2")
+    base_dir = str(tmp_path / "base")
+    archive = str(tmp_path / "archive")
+
+    _write_shard(spark, base, landing)
+    _drain(spark, landing, gen1)
+
+    rep = rotate_snapshot_generation(
+        spark, landing, gen1, f"{gen1}/_checkpoint", base_dir, archive)
+    assert rep["n_base_rows"] == len(base)
+    assert rep["compaction"]["n_left_files"] == 0
+
+    # gen-2: new revisions land; a FRESH checkpoint must see only them
+    # (the drained gen-1 shards were archived out of the landing dir)
+    _write_shard(spark, pd.concat([v2, v3], ignore_index=True), landing)
+    rep2 = _drain(spark, landing, gen2)
+    assert rep2["n_input_rows"] == len(v2) + len(v3)
+
+    union = spark.createDataFrame(
+        pd.concat([base, v2, v3], ignore_index=True))
+    want = _snap_rows(latest_snapshot(union))
+    assert _snap_rows(read_snapshot(spark, gen2, base_path=base_dir)) == want
+
+    # overlap harmlessness: the old changelog duplicates rows already
+    # folded into the base — the window collapses them, same snapshot
+    # (gen1's rows all carry keys the base has, so reading gen1 WITH
+    # the base is a no-op superset)
+    assert _snap_rows(read_snapshot(spark, gen1, base_path=base_dir)) == \
+        _snap_rows(read_snapshot(spark, gen1))
+
+
+def test_rotation_rejects_nested_dirs(spark, tmp_path):
+    from yalder_spark.streaming.snapshot_stream import (
+        rotate_snapshot_generation)
+
+    landing = str(tmp_path / "landing")
+    gen1 = str(tmp_path / "gen1")
+    with pytest.raises(ValueError, match="contain each other"):
+        rotate_snapshot_generation(
+            spark, landing, gen1, f"{gen1}/_checkpoint",
+            base_out=f"{landing}/base", archive_path=str(tmp_path / "a"))
+    with pytest.raises(ValueError, match="contain each other"):
+        rotate_snapshot_generation(
+            spark, landing, gen1, f"{gen1}/_checkpoint",
+            base_out=str(tmp_path / "b"), archive_path=f"{gen1}/arch")
+    with pytest.raises(ValueError, match="differ from base_in"):
+        rotate_snapshot_generation(
+            spark, landing, gen1, f"{gen1}/_checkpoint",
+            base_out=str(tmp_path / "b"), archive_path=str(tmp_path / "a"),
+            base_in=str(tmp_path / "b"))

@@ -59,7 +59,8 @@ from pyspark.sql.types import StringType, StructField, StructType
 from ..operators.repoops import latest_snapshot
 from .filter_stream import drain_available_now, pin_stream_schema
 
-__all__ = ["run_snapshot_ingest", "read_snapshot"]
+__all__ = ["run_snapshot_ingest", "read_snapshot",
+           "rotate_snapshot_generation"]
 
 _SHA_COL = "content_sha256"
 
@@ -220,15 +221,99 @@ def run_snapshot_ingest(spark: SparkSession, input_path: str,
 
 
 def read_snapshot(spark: SparkSession, changelog_path: str,
+                  base_path: str | None = None,
                   commit_col: str = "commit",
                   content_col: str = "content") -> DataFrame:
-    """Merge-on-read: the latest snapshot implied by the changelog.
+    """Merge-on-read: the latest snapshot implied by the changelog
+    (plus an optional compacted base generation).
 
     Reads through the sink's ``_spark_metadata`` commit log (partially
     written triggers stay invisible) and applies the SAME window rule
     as batch d10, so the result is row-identical to running
     ``latest_snapshot`` over the union of every ingested revision —
-    regardless of drain count, shard order, or stale suppression."""
+    regardless of drain count, shard order, or stale suppression.
+
+    ``base_path`` is a prior generation written by
+    ``rotate_snapshot_generation``: plain parquet, unioned in before
+    the window.  A row present in BOTH the base and the changelog is
+    harmless — the window collapses per (repo, path), and identical
+    (commit, sha) ties resolve to value-identical rows — so generation
+    switches never need to be atomic with respect to readers."""
     log = spark.read.parquet(changelog_path)
+    if base_path is not None:
+        log = spark.read.parquet(base_path).unionByName(
+            log, allowMissingColumns=True)
     return latest_snapshot(log, commit_col=commit_col,
                            content_col=content_col)
+
+
+def rotate_snapshot_generation(spark: SparkSession, input_path: str,
+                               changelog_path: str, checkpoint: str,
+                               base_out: str, archive_path: str,
+                               base_in: str | None = None,
+                               commit_col: str = "commit",
+                               content_col: str = "content") -> dict:
+    """Close a snapshot generation: bound BOTH unbounded growth axes
+    (the landing dir listing and the changelog read amplification)
+    without a table format, using only composition of this package's
+    own guarantees.  Offline — run between drains, never concurrently
+    with one.
+
+    1. ``compact_landing_dir``: archive exactly the landing shards the
+       generation's checkpoint has durably processed (uncommitted
+       shards are conservatively KEPT in the landing dir).  This is
+       what makes step 3 safe: the NEXT generation starts from a fresh
+       checkpoint, and a fresh checkpoint re-ingests whatever is in
+       the landing dir — which after compaction is exactly the
+       not-yet-processed shards.
+    2. Materialize ``read_snapshot(changelog, base_in)`` as plain
+       parquet at ``base_out`` — the next generation's base.
+    3. The caller then drains into a FRESH (changelog, checkpoint)
+       pair and reads via ``read_snapshot(new_changelog,
+       base_path=base_out)``.  The old changelog + checkpoint become
+       garbage (delete at leisure); reads during the switch stay
+       correct because merge-on-read collapses rows present in both
+       generations (see ``read_snapshot``).
+
+    Crash safety: rerunnable from any point — compaction is
+    idempotent-conservative, the base write is a deterministic
+    overwrite, and nothing here touches the old generation's
+    correctness surfaces.
+
+    100 TB shape: step 2 is d10's one (repo, path) shuffle over
+    base+changelog; each rotation resets read amplification to 1 and
+    the landing listing to the unprocessed tail — the same economics
+    as an Iceberg rewrite-data-files + expire-snapshots maintenance
+    window, from public primitives.
+    """
+    for name, p in (("base_out", base_out), ("archive_path", archive_path)):
+        pn = _norm_dir(p)
+        for owned_name, owned in (("input_path", input_path),
+                                  ("changelog_path", changelog_path)):
+            on = _norm_dir(owned)
+            if pn.startswith(on) or on.startswith(pn):
+                raise ValueError(
+                    f"{name} {p!r} and {owned_name} {owned!r} must not "
+                    "contain each other — it would be re-ingested as a "
+                    "shard or shadow the commit log")
+    if base_in is not None and _norm_dir(base_in) == _norm_dir(base_out):
+        raise ValueError(
+            "base_out must differ from base_in: the rotation reads the "
+            "old base while writing the new one, and an in-place "
+            "overwrite would corrupt the read")
+
+    from .compaction import compact_landing_dir
+
+    compaction = compact_landing_dir(spark, input_path, checkpoint,
+                                     archive_path=archive_path)
+    snap = read_snapshot(spark, changelog_path, base_path=base_in,
+                         commit_col=commit_col, content_col=content_col)
+    snap.write.mode("overwrite").parquet(base_out)
+    n_base = spark.read.parquet(base_out).count()
+    return {
+        "base_out": base_out,
+        "n_base_rows": n_base,
+        "compaction": compaction,
+        "next_generation": "drain into a FRESH (changelog, checkpoint) "
+                           f"pair and read with base_path={base_out!r}",
+    }
