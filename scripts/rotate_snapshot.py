@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Production entry point: rotate a snapshot-ingest generation.
+
+    python scripts/rotate_snapshot.py \
+        --input <landing_dir> --changelog <gen_changelog> \
+        [--checkpoint <dir>] --base-out <dir> --archive <archive_dir> \
+        [--base-in <prior_base>] [--master local[32]]
+
+Run OFFLINE between drains (never concurrently with one).  Archives
+the landing shards the generation's checkpoint has durably processed,
+materializes the merged snapshot (prior base + changelog) as a
+plain-parquet base generation at ``--base-out``, and prints a JSON
+report.  Afterwards, point ``run_snapshot.py`` at a FRESH
+``--changelog``/``--checkpoint`` pair and read via
+``read_snapshot(..., base_path=<base-out>)``; the old changelog and
+checkpoint are garbage (delete at leisure — readers of base + old
+changelog stay correct, the merge window collapses the overlap).
+
+Pure JVM work (metadata listing + two parquet passes): no py-files
+zip is shipped because no Python worker code runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="landing directory the generation drained from")
+    ap.add_argument("--changelog", required=True,
+                    help="the generation's changelog directory")
+    ap.add_argument("--checkpoint", default=None,
+                    help="the generation's checkpoint (default "
+                         "<changelog>/_checkpoint)")
+    ap.add_argument("--base-out", required=True,
+                    help="where to materialize the new base generation "
+                         "(plain parquet, overwritten)")
+    ap.add_argument("--archive", required=True,
+                    help="archive dir for the drained landing shards; "
+                         "must lie OUTSIDE --input")
+    ap.add_argument("--base-in", default=None,
+                    help="prior base generation to fold in (omit for "
+                         "the first rotation)")
+    ap.add_argument("--commit-col", default="commit")
+    ap.add_argument("--content-col", default="content")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from yalder_spark.pipeline import build_session
+    from yalder_spark.streaming.snapshot_stream import (
+        rotate_snapshot_generation)
+
+    spark = build_session("yalder-rotate", master=args.master,
+                          shuffle_partitions=args.shuffle_partitions)
+    report = rotate_snapshot_generation(
+        spark, args.input, args.changelog,
+        args.checkpoint or os.path.join(args.changelog, "_checkpoint"),
+        base_out=args.base_out, archive_path=args.archive,
+        base_in=args.base_in,
+        commit_col=args.commit_col, content_col=args.content_col)
+    print(f"rotated: base {report['n_base_rows']} rows -> "
+          f"{report['base_out']}; archived "
+          f"{report['compaction']['n_compacted_files']} landing shards "
+          f"({report['compaction']['n_left_files']} left)",
+          file=sys.stderr)
+    print(json.dumps(report, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

@@ -328,3 +328,57 @@ def test_run_snapshot_cli_rejects_nested_dirs(tmp_path):
     proc = run("--input", landing, "--changelog", changelog,
                "--write-snapshot", link)
     assert proc.returncode == 2, proc.stderr[-500:]
+
+
+def test_rotate_snapshot_cli_lifecycle(tmp_path, spark):
+    """The cross-process generation lifecycle: drain gen-1
+    (run_snapshot.py) → rotate (rotate_snapshot.py: archive landing,
+    materialize base) → land new revisions → drain gen-2 from a fresh
+    changelog/checkpoint → merge-on-read over (base, gen-2) equals
+    batch latest_snapshot over everything — each step a real
+    subprocess, as a cron would run it."""
+    import hashlib
+
+    from yalder_spark.fixtures.gen import gen_repos, repos_input
+    from yalder_spark.operators.repoops import latest_snapshot
+    from yalder_spark.streaming.snapshot_stream import read_snapshot
+
+    base = repos_input(gen_repos(100, 42)).head(100).reset_index(drop=True)
+    v2 = base.iloc[::4].copy()
+    v2["commit"] = [hashlib.md5(f"v2@{p}".encode()).hexdigest()
+                    for p in v2["path"]]
+    v2["content"] = v2["content"] + " v2"
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    base.to_parquet(os.path.join(landing, "shard0.parquet"))
+    gen1, gen2 = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    base_dir, archive = str(tmp_path / "base"), str(tmp_path / "archive")
+
+    rep1 = json.loads(_run_cli(
+        "run_snapshot.py", "--input", landing, "--changelog", gen1,
+        "--master", "local[4]", "--shuffle-partitions", "4",
+    ).strip().splitlines()[-1])
+    assert rep1["n_input_rows"] == len(base)
+
+    rot = json.loads(_run_cli(
+        "rotate_snapshot.py", "--input", landing, "--changelog", gen1,
+        "--base-out", base_dir, "--archive", archive,
+        "--master", "local[4]", "--shuffle-partitions", "4",
+    ).strip().splitlines()[-1])
+    assert rot["n_base_rows"] == len(base)
+    assert rot["compaction"]["n_left_files"] == 0
+
+    v2.to_parquet(os.path.join(landing, "shard1.parquet"))
+    rep2 = json.loads(_run_cli(
+        "run_snapshot.py", "--input", landing, "--changelog", gen2,
+        "--master", "local[4]", "--shuffle-partitions", "4",
+    ).strip().splitlines()[-1])
+    assert rep2["n_input_rows"] == len(v2)  # fresh checkpoint, new wave only
+
+    union = spark.createDataFrame(pd.concat([base, v2], ignore_index=True))
+    want = sorted((r.repo, r.path, r.commit)
+                  for r in latest_snapshot(union).collect())
+    got = sorted((r.repo, r.path, r.commit) for r in
+                 read_snapshot(spark, gen2, base_path=base_dir).collect())
+    assert got == want
