@@ -136,6 +136,21 @@ def test_run_filter_stream_incremental(spark, tmp_path, model_artifact,
     assert rep3["n_input_rows"] == 0
     assert len(spark.read.parquet(out).toPandas()) == len(got2)
 
+    # every drain left a lineage record (_runs/<runId>.json, the
+    # streaming counterpart of the batch manifest's report) that
+    # matches what the call returned
+    import json as _json
+    import os as _os
+    runs_dir = _os.path.join(out, "_runs")
+    recs = {f[:-5]: _json.load(open(_os.path.join(runs_dir, f)))
+            for f in _os.listdir(runs_dir) if f.endswith(".json")}
+    assert len(recs) == 3
+    for rep in (rep1, rep2, rep3):
+        rec = recs[rep["run_id"]]
+        assert rec["n_input_rows"] == rep["n_input_rows"]
+        assert rec["metrics"] == rep["metrics"]
+        assert "ts" in rec
+
 
 def test_run_filter_stream_report_exact_past_progress_buffer(
         spark, tmp_path, model_artifact, ppl_model):

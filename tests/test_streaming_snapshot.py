@@ -81,6 +81,16 @@ def test_two_drain_converges_to_batch_snapshot(spark, tmp_path):
     assert n_log < len(base) + len(backfill)
     assert n_log >= len(base)
 
+    # each drain persisted its lineage record next to the changelog
+    import json
+    import os
+    runs_dir = os.path.join(changelog, "_runs")
+    recs = {f[:-5]: json.load(open(os.path.join(runs_dir, f)))
+            for f in os.listdir(runs_dir) if f.endswith(".json")}
+    assert len(recs) == 2
+    for rep in (rep1, rep2):
+        assert recs[rep["run_id"]]["n_input_rows"] == rep["n_input_rows"]
+
 
 def test_stale_redelivery_appends_nothing(spark, tmp_path):
     """After the first drain, a second drain delivering only exact

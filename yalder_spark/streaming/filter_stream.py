@@ -42,7 +42,8 @@ from pyspark.sql.streaming import StreamingQueryListener
 from ..operators.filter import FilterConfig, quality_filter
 from ..operators.model import LanguageModel
 
-__all__ = ["run_filter_stream", "pin_stream_schema", "drain_available_now"]
+__all__ = ["run_filter_stream", "pin_stream_schema", "drain_available_now",
+           "persist_drain_record"]
 
 
 class _ProgressCounter(StreamingQueryListener):
@@ -173,10 +174,11 @@ def pin_stream_schema(spark: SparkSession, input_path: str,
 
 def drain_available_now(spark: SparkSession, writer):
     """Start ``writer`` with an AvailableNow trigger, block until the
-    backlog drains, and return ``(filled, exact, observed)``: the
-    listener-exact per-batch input-row counts (>0 only), whether the
-    terminated event arrived (exact accounting past recentProgress's
-    ~100-entry buffer), and the rid-keyed observe() metric dicts.
+    backlog drains, and return ``(filled, exact, observed, run_id)``:
+    the listener-exact per-batch input-row counts (>0 only), whether
+    the terminated event arrived (exact accounting past
+    recentProgress's ~100-entry buffer), the rid-keyed observe()
+    metric dicts, and the engine's unique run id for this drain.
 
     ONE source for the drain/report machinery shared by every
     incremental-ingest job (filter s8, snapshot s9) — this block has
@@ -204,7 +206,26 @@ def drain_available_now(spark: SparkSession, writer):
         obs = counter.observed.get(rid, []) if exact else []
     finally:
         spark.streams.removeListener(counter)
-    return filled, exact, obs
+    return filled, exact, obs, rid
+
+
+def persist_drain_record(spark: SparkSession, sink_path: str,
+                         report: dict) -> None:
+    """Persist a drain's report as ``<sink>/_runs/<run_id>.json`` — the
+    streaming counterpart of the batch job's lineage record (north
+    rule: lineage + metrics ride the checkpointed output).  The
+    ``_runs`` name is underscore-prefixed, so sink readers ignore it;
+    the run id is the engine's per-invocation runId, so records never
+    collide across drains."""
+    import datetime
+
+    from ..sources.io import write_text_any_fs
+
+    rec = dict(report)
+    rec["ts"] = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    write_text_any_fs(
+        spark, os.path.join(sink_path, "_runs", f"{rec['run_id']}.json"),
+        json.dumps(rec, indent=2, sort_keys=True, default=str))
 
 
 def run_filter_stream(spark: SparkSession, input_path: str,
@@ -278,11 +299,12 @@ def run_filter_stream(spark: SparkSession, input_path: str,
 
     # a listener sees every progress event, so the report stays exact
     # past recentProgress's ~100-entry buffer (ADVICE r5 #1)
-    filled, exact, obs = drain_available_now(spark, writer)
+    filled, exact, obs, rid = drain_available_now(spark, writer)
     metrics = {k: sum(int(o[k] or 0) for o in obs)
                for k in ("n_rows", "n_keep", "pii_hits", "tox_hits")}
     metrics["n_drop"] = metrics["n_rows"] - metrics["n_keep"]
-    return {
+    report = {
+        "run_id": rid,
         "query_name": query_name,
         "input": input_path,
         "output": output_path,
@@ -294,3 +316,5 @@ def run_filter_stream(spark: SparkSession, input_path: str,
         # (zeros if the terminated event was missed — count_exact says)
         "metrics": metrics,
     }
+    persist_drain_record(spark, output_path, report)
+    return report

@@ -57,7 +57,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..operators.repoops import latest_snapshot
-from .filter_stream import drain_available_now, pin_stream_schema
+from .filter_stream import (drain_available_now, persist_drain_record,
+                            pin_stream_schema)
 
 __all__ = ["run_snapshot_ingest", "read_snapshot",
            "rotate_snapshot_generation"]
@@ -207,8 +208,9 @@ def run_snapshot_ingest(spark: SparkSession, input_path: str,
               .outputMode("append")
               .queryName(query_name))
     # shared listener-exact drain machinery (one source with s8)
-    filled, exact, _ = drain_available_now(spark, writer)
-    return {
+    filled, exact, _, rid = drain_available_now(spark, writer)
+    report = {
+        "run_id": rid,
         "query_name": query_name,
         "input": input_path,
         "changelog": changelog_path,
@@ -218,6 +220,8 @@ def run_snapshot_ingest(spark: SparkSession, input_path: str,
         "count_exact": exact,
         "suppress_stale": suppress_stale,
     }
+    persist_drain_record(spark, changelog_path, report)
+    return report
 
 
 def read_snapshot(spark: SparkSession, changelog_path: str,
