@@ -44,7 +44,9 @@ def test_dims_are_broadcast(spark):
 
 def test_detect_stage_is_shuffle_free_and_pruned(spark):
     plan = _plan(entrymod.queries()["h4_h8_detect"](spark, SF))
-    assert "MapInPandas" in plan
+    # r8: detect_langs moved to mapInArrow (zero-copy passthrough)
+    assert _nodes(plan, "MapInArrow") + _nodes(plan, "PythonMapInArrow") \
+        + _nodes(plan, "MapInPandas") == 1
     assert "Exchange" not in plan, "detection must not shuffle"
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, \
         "only doc_id+text may enter the Python stage"

@@ -75,6 +75,22 @@ def ngram_hashes_one(text: str | None) -> list[int]:
 _KEEP_RE = re.compile(r"[^\W\d_]")
 _SPACE = np.int32(32)
 
+# Byte-space lowercasing for latin-1 batches: str.lower() on a latin-1
+# string is EXACTLY "+32 for A-Z and À-Þ except ×" for every codepoint
+# except U+00B5 (µ lowers to U+03BC GREEK SMALL MU, leaving latin-1) —
+# property-verified over all 256 codepoints in tests/test_ngram.py.
+# Batches containing µ fall back to the per-row str.lower() path.
+_MICRO = 0xB5
+
+
+def _lower_latin1(codes: np.ndarray) -> np.ndarray:
+    """Vectorized str.lower() over latin-1 bytes (no µ present)."""
+    out = codes.copy()
+    up = ((codes >= 65) & (codes <= 90)) | (
+        (codes >= 0xC0) & (codes <= 0xDE) & (codes != 0xD7))
+    out[up] += 32
+    return out
+
 
 _KEEP_TABLE_SIZE = 0x600  # Latin + extensions + Greek/Cyrillic start
 _KEEP_TABLE: np.ndarray | None = None
@@ -114,36 +130,65 @@ def _normalized_padded_codes(
     byte-identical to pad(normalize(doc)) per doc, but with ONE regex
     call per cached codepoint instead of one regex SCAN per document."""
     n_docs = len(s)
-    lowered = s.fillna("").astype("object").str.lower().to_numpy(dtype=object)
-    big = "\x00".join(lowered) + "\x00"
     # latin-1 fast path: for codepoints <= 255 the byte value IS the
     # codepoint, so 1 byte/char instead of UTF-32's 4 — the hot arrays
     # are memory-bandwidth bound at 32 cores, this is a 4x traffic cut.
+    # Lowercasing runs VECTORIZED in byte space (see _lower_latin1;
+    # µ-bearing batches fall back — its lowercase leaves latin-1), so
+    # the per-row str.lower() pass disappears from the hot path.
     # Non-latin batches fall back to the exact same math on int32.
+    vals = s.fillna("").astype("object").to_numpy(dtype=object)
+    lowered = None
     try:
-        codes = np.frombuffer(big.encode("latin-1"), dtype=np.uint8)
+        big = "\x00".join(vals) + "\x00"
+        raw = np.frombuffer(big.encode("latin-1"), dtype=np.uint8)
+        if (raw == _MICRO).any():
+            raise UnicodeEncodeError("latin-1", "µ", 0, 1, "micro sign")
+        codes = _lower_latin1(raw)
         dtype = np.uint8
+        lens = np.fromiter((len(v) for v in vals), count=n_docs,
+                           dtype=np.int64)
     except UnicodeEncodeError:
-        codes = np.frombuffer(big.encode("utf-32-le"),
-                              dtype=np.uint32).astype(np.int32)
-        dtype = np.int32
-    lens = np.fromiter((len(v) for v in lowered), count=n_docs, dtype=np.int64)
+        lowered = s.fillna("").astype("object").str.lower() \
+            .to_numpy(dtype=object)
+        big = "\x00".join(lowered) + "\x00"
+        try:
+            codes = np.frombuffer(big.encode("latin-1"), dtype=np.uint8)
+            dtype = np.uint8
+        except UnicodeEncodeError:
+            codes = np.frombuffer(big.encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.int32)
+            dtype = np.int32
+        lens = np.fromiter((len(v) for v in lowered), count=n_docs,
+                           dtype=np.int64)
     in_starts = np.zeros(n_docs, np.int64)
     np.cumsum(lens[:-1] + 1, out=in_starts[1:])
 
     keep = _keep_flags(codes)
 
     kept_pos = np.nonzero(keep)[0]
-    kept_doc = np.searchsorted(in_starts, kept_pos, side="right") - 1
+    # doc of a kept char: one repeat + gather (measured ~3x cheaper than
+    # a per-element binary search into in_starts)
+    doc_of_in = np.repeat(np.arange(n_docs, dtype=np.int32), lens + 1)
+    kept_doc = doc_of_in[kept_pos]
     # token start = kept char whose predecessor is not kept (separators
     # are never kept, so tokens cannot straddle documents)
     tok_start = np.empty(len(kept_pos), bool)
     if len(kept_pos):
         tok_start[0] = True
         tok_start[1:] = kept_pos[1:] != kept_pos[:-1] + 1
-    n_kept = np.bincount(kept_doc, minlength=n_docs)
-    n_toks = np.bincount(kept_doc[tok_start], minlength=n_docs) \
-        if len(kept_pos) else np.zeros(n_docs, np.int64)
+    # per-doc counts via boundary searches into the SORTED kept_doc /
+    # tok_doc arrays (512 binary searches instead of two full-length
+    # bincount scatter passes)
+    bnd = np.searchsorted(kept_doc, np.arange(n_docs + 1))
+    n_kept = np.diff(bnd)
+    if len(kept_pos):
+        tok_doc = kept_doc[tok_start]
+        tbnd = np.searchsorted(tok_doc, np.arange(n_docs + 1))
+        n_toks = np.diff(tbnd)
+    else:
+        tbnd = np.zeros(n_docs + 1, np.int64)
+        n_toks = np.zeros(n_docs, np.int64)
 
     # per-doc output segment: n_kept + n_toks + 1 chars (k tokens joined
     # and surrounded by single spaces), or 0 for token-less docs; plus 3
@@ -160,14 +205,17 @@ def _normalized_padded_codes(
 
     if len(kept_pos):
         # kept char positions: start + 1 (leading space) + within-doc
-        # kept rank + within-doc token index (one space between tokens)
-        first_rank = np.searchsorted(kept_doc, np.arange(n_docs))
-        r_within = np.arange(len(kept_pos)) - first_rank[kept_doc]
+        # kept rank + within-doc token index (one space between tokens).
+        # out_pos = out_starts[d] + 1 + (grank - first_rank[d])
+        #                             + (tok_id - first_tok[d])
+        # folds to base[d] + 1 + grank + tok_id with ONE per-doc base
+        # array (first_rank = bnd[:-1], first_tok = tbnd[:-1]) — two
+        # fewer full-length temporaries and gathers than the unfolded
+        # form, same indices exactly.
         tok_id = np.cumsum(tok_start) - 1
-        first_tok = np.zeros(n_docs, np.int64)
-        np.cumsum(n_toks[:-1], out=first_tok[1:])
-        t_within = tok_id - first_tok[kept_doc]
-        out[out_starts[kept_doc] + 1 + r_within + t_within] = codes[kept_pos]
+        base = out_starts - bnd[:-1] - tbnd[:-1]
+        out[base[kept_doc] + 1 + np.arange(len(kept_pos)) + tok_id] = \
+            codes[kept_pos]
 
     return out, out_starts, out_len, n_docs
 

@@ -110,8 +110,16 @@ def _minhash_batch(texts: pd.Series) -> np.ndarray:
     h &= 0x7FFFFFFF
     # dedupe shingles per doc first (min over the SET == min over the
     # multiset): repeated 4-grams are ~40% of windows, and every
-    # surviving row costs 64 permutations
-    keys = np.unique((doc_ids << np.int64(31)) | h)
+    # surviving row costs 64 permutations.  pd.factorize (khash) is the
+    # r8-measured replacement for the two np.unique sorts (0.5 ms vs
+    # 2.4/2.6 ms per 512-doc batch): its uniques come back in FIRST-
+    # OCCURRENCE order, which is doc-grouped ascending (windows arrive
+    # doc-sorted) — exactly the segment structure reduceat needs —
+    # while the within-doc shingle order is arbitrary, which is
+    # irrelevant: a permutation is pointwise and min() is
+    # order-invariant, so signatures are bitwise unchanged (pinned by
+    # the d2/e4 goldens + tests/test_dedup.py).
+    keys = pd.factorize((doc_ids << np.int64(31)) | h)[1]
     doc_ids = keys >> np.int64(31)
     h = keys & np.int64(0x7FFFFFFF)
     starts = np.searchsorted(doc_ids, np.arange(n_docs))
@@ -124,8 +132,7 @@ def _minhash_batch(texts: pd.Series) -> np.ndarray:
     # delimit exactly the right segments
     ne_starts = starts[nonempty]
     ne_idx = np.nonzero(nonempty)[0]
-    buf = np.empty(len(h), np.int64)
-    uniq, inv = np.unique(h, return_inverse=True)
+    inv, uniq = pd.factorize(h)
     if len(uniq) <= len(h) // 4:
         ubuf = np.empty(len(uniq), np.int64)
         scratch = np.empty(len(uniq), np.int64)
@@ -133,9 +140,12 @@ def _minhash_batch(texts: pd.Series) -> np.ndarray:
             np.multiply(uniq, _PERM_A[p], out=ubuf)
             ubuf += _PERM_B[p]
             _mod_mersenne(ubuf, scratch)
-            np.take(ubuf, inv, out=buf)
-            sig[ne_idx, p] = np.minimum.reduceat(buf, ne_starts)
+            # plain fancy indexing: measured ~2x faster than
+            # np.take(..., out=) (which routes through a checked
+            # NpyIter path); the 0.7 MB temporary is cache-sized
+            sig[ne_idx, p] = np.minimum.reduceat(ubuf[inv], ne_starts)
     else:
+        buf = np.empty(len(h), np.int64)
         scratch = np.empty(len(h), np.int64)
         for p in range(N_PERM):
             np.multiply(h, _PERM_A[p], out=buf)
