@@ -83,9 +83,23 @@ def explode_ngram_hashes(df: DataFrame, text_col: str = "text",
     # NULL labels would crash np.unique's object-array sort inside the
     # worker; training rows without a language are meaningless — drop
     # them explicitly at the scan
-    return (df.select(lang_col, text_col)
-            .filter(F.col(lang_col).isNotNull())
-            .mapInPandas(gen, _EXPLODE_SCHEMA))
+    src = (df.select(lang_col, text_col)
+           .filter(F.col(lang_col).isNotNull()))
+    # Scale-adaptive parallelism guard (guide §2.2/§6): a small corpus
+    # arrives as 1-2 scan splits (one parquet file < maxPartitionBytes)
+    # and the Python explode stage — the single most expensive part of
+    # training (r8 noop decomposition: 1.6 of 2.5 s at sf1.0) — would
+    # run on that many cores.  Round-robin repartition to the session's
+    # parallelism ONLY when the scan is narrower; at production scale
+    # the input has >> defaultParallelism splits and this is a no-op
+    # (no extra exchange).  Result-invariant: counts are summed
+    # globally and the retry-deterministic salt is taken AFTER this
+    # repartition (sortBeforeRepartition keeps row placement stable
+    # under task retry, so the salt stays deterministic too).
+    sc = df.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    return src.mapInPandas(gen, _EXPLODE_SCHEMA)
 
 
 def ngram_counts(df: DataFrame, text_col: str = "text", lang_col: str = "lang",
