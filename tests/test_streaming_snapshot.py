@@ -278,8 +278,32 @@ def test_rotation_rejects_nested_dirs(spark, tmp_path):
         rotate_snapshot_generation(
             spark, landing, gen1, f"{gen1}/_checkpoint",
             base_out=str(tmp_path / "b"), archive_path=f"{gen1}/arch")
-    with pytest.raises(ValueError, match="differ from base_in"):
+    # base_in / base_out: equality AND containment both refused (r8:
+    # the rotation reads the old base while writing the new one — a
+    # nested pair races the read or double-counts the new generation)
+    for bad_out in (str(tmp_path / "b"), str(tmp_path / "b" / "nested")):
+        with pytest.raises(ValueError, match="must not contain each other"):
+            rotate_snapshot_generation(
+                spark, landing, gen1, f"{gen1}/_checkpoint",
+                base_out=bad_out, archive_path=str(tmp_path / "a"),
+                base_in=str(tmp_path / "b"))
+    with pytest.raises(ValueError, match="must not contain each other"):
         rotate_snapshot_generation(
             spark, landing, gen1, f"{gen1}/_checkpoint",
             base_out=str(tmp_path / "b"), archive_path=str(tmp_path / "a"),
-            base_in=str(tmp_path / "b"))
+            base_in=str(tmp_path / "b" / "nested"))
+
+
+def test_suppress_stale_rejects_preexisting_sha_column(spark, tmp_path):
+    """Re-ingesting a prior changelog/base (which already carries
+    content_sha256) under suppress_stale would bind a duplicate field
+    name into the state-output struct and die obscurely at drain time
+    — refused up front with a loud error (ADVICE r7)."""
+    base, _, _ = _revisions(10)
+    withsha = base.copy()
+    withsha["content_sha256"] = "cafebabe"
+    landing = str(tmp_path / "landing")
+    _write_shard(spark, withsha, landing)
+    with pytest.raises(ValueError, match="content_sha256"):
+        _drain(spark, landing, str(tmp_path / "changelog"),
+               suppress_stale=True)

@@ -287,9 +287,15 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             hashes, doc_ids, _ = batch_ngram_hashes(pdf[text_col])
-            u = pd.DataFrame({"d": doc_ids, "h": hashes}).drop_duplicates()
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[u["d"].to_numpy()],
-                                "shingle": u["h"].to_numpy()})
+            # fused-key khash dedup (same trick as _minhash_batch, r8):
+            # identical (doc, shingle) SET, no pandas frame round-trip
+            keys = pd.factorize(
+                (doc_ids << np.int64(32)) | (hashes + np.int64(1 << 31)))[1]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[
+                    (keys >> np.int64(32)).astype(np.int64)],
+                "shingle": (keys & np.int64(0xFFFFFFFF)) - np.int64(1 << 31),
+            })
 
     sh = (docs.select(id_col, text_col)
           .mapInPandas(gen, f"{id_col} long, shingle long").cache())

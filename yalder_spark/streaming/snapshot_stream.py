@@ -198,6 +198,15 @@ def run_snapshot_ingest(spark: SparkSession, input_path: str,
         _SHA_COL, F.sha2(F.col(content_col), 256))
 
     if suppress_stale:
+        if _SHA_COL in schema.fieldNames():
+            # withColumn above REPLACED the column in the DataFrame,
+            # but appending it again to the pinned struct would give
+            # the state-output binding a duplicate field name and fail
+            # obscurely at drain time (ADVICE r7) — reject loudly here
+            raise ValueError(
+                f"input schema already carries {_SHA_COL!r} (re-ingest "
+                "of a prior changelog/base?); drop or rename it before "
+                "a suppress_stale drain")
         out_struct = StructType(
             list(schema.fields) + [StructField(_SHA_COL, StringType(), True)])
         stream_df = _suppress_stale(stream_df, out_struct, commit_col)
@@ -300,11 +309,18 @@ def rotate_snapshot_generation(spark: SparkSession, input_path: str,
                     f"{name} {p!r} and {owned_name} {owned!r} must not "
                     "contain each other — it would be re-ingested as a "
                     "shard or shadow the commit log")
-    if base_in is not None and _norm_dir(base_in) == _norm_dir(base_out):
-        raise ValueError(
-            "base_out must differ from base_in: the rotation reads the "
-            "old base while writing the new one, and an in-place "
-            "overwrite would corrupt the read")
+    if base_in is not None:
+        bi, bo = _norm_dir(base_in), _norm_dir(base_out)
+        # containment, not plain equality (ADVICE r7): a base_out nested
+        # inside base_in (or vice versa) lets the overwrite race the
+        # in-flight read of the old base, and later reads of base_in
+        # would double-count the nested generation
+        if bi.startswith(bo) or bo.startswith(bi):
+            raise ValueError(
+                "base_out and base_in must not contain each other: the "
+                "rotation reads the old base while writing the new one, "
+                "and a nested overwrite corrupts the read or makes "
+                "base_in double-count the new generation")
 
     from .compaction import compact_landing_dir
 
