@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Round-8 noop-sink isolation bench (guide §1.4): times each headline
+query's COMPUTATION by materializing every output column into the
+built-in no-op sink, so neither the tiny collect() nor the real sink is
+in the timing.  Jobs are labelled (§1.5).  Separate from the FROZEN
+``bench.py`` (the driver contract): this file exists for optimization
+evidence, not for the driver.
+
+Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf1.0 python bench_extra.py
+Prints one JSON line: {"queries_noop": {...}, "sf": ..., "calibration": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from bench import (_calibration_probe, _docs_repo_shaped, _spark_probe,
+                       build_bench_session)
+
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "20"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    spark = build_bench_session(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from yalder_spark.operators.dedup import lsh_bands
+    from yalder_spark.operators.detector import detect_langs
+    from yalder_spark.operators.filter import quality_filter
+    from yalder_spark.operators.trainer import build_model_df
+
+    model, ppl = entrymod._models()
+    src = _docs_repo_shaped(spark, sf_dir, mult).cache()
+    n_files = src.count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    docs.count()
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    queries = {
+        # full 14-column output materialized, not just sum(keep)
+        "filter_pipeline": lambda: noop(quality_filter(src, model, ppl)),
+        "detect": lambda: noop(detect_langs(src.select("repo", "content"),
+                                            model, "content",
+                                            keep_text=False)),
+        "repetition_stats": lambda: noop(
+            entrymod.queries()["x4_repetition"](spark, sf_dir)),
+        "train": lambda: noop(build_model_df(docs.select("lang", "text"))),
+        "dedup_lsh_bands": lambda: noop(lsh_bands(
+            src.withColumn("doc_id", F.crc32("path").cast("long")),
+            "content", "doc_id")),
+        "relational_agg": lambda: noop(entrymod.queries()["r2_agg"](spark, sf_dir)),
+        "relational_join": lambda: noop(entrymod.queries()["r4b_join_agg"](spark, sf_dir)),
+        "ann_bruteforce": lambda: noop(entrymod.queries()["e1_ann_bruteforce"](spark, sf_dir)),
+    }
+
+    results = {}
+    for name, fn in queries.items():
+        spark.sparkContext.setJobDescription(f"bench_extra noop: {name}")
+        fn()  # warm
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = round(best, 4)
+        spark.sparkContext.setJobDescription(None)
+
+    calib = _calibration_probe()
+    out = {
+        "metric": "bench_extra_noop_sec",
+        "queries_noop": results,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "n_files": n_files,
+        "runs": runs,
+        "calibration": {"probe_sec": calib,
+                        "spark_probe_sec": _spark_probe(spark)},
+        "cores": cores,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -182,3 +182,26 @@ def test_langid_wide_labels_are_canonical_h10_forms():
     assert normalize_lang("rus") == "ru"
     assert normalize_lang("kor") == "ko"
     assert normalize_lang("ara") == "ar"
+
+
+def test_vocab_index_lookup_matches_searchsorted(model_artifact):
+    """r8: score_sums' khash vocab lookup must produce the IDENTICAL
+    integer indices np.searchsorted did (same gather -> bitwise-same
+    scores), including misses, extremes and exact boundary hits."""
+    import numpy as np
+
+    vocab = model_artifact.vocab
+    rng = np.random.RandomState(0)
+    hashes = np.concatenate([
+        rng.choice(vocab, 500),                      # guaranteed hits
+        rng.randint(-2**31, 2**31, 500),             # mostly misses
+        np.array([vocab[0], vocab[-1], vocab[0] - 1, vocab[-1] + 1,
+                  -2**31, 2**31 - 1, 0], np.int64),
+    ]).astype(np.int64)
+    V = len(vocab)
+    idx = np.searchsorted(vocab, hashes)
+    idx_c = np.minimum(idx, V - 1)
+    idx_c[vocab[idx_c] != hashes] = V
+    got = model_artifact._vocab_index().get_indexer(hashes)
+    got[got < 0] = V
+    assert np.array_equal(got, idx_c)

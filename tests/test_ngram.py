@@ -85,3 +85,30 @@ def test_hashes_fit_signed_32():
     hashes, _, _ = batch_ngram_hashes(pd.Series(SAMPLES))
     assert hashes.dtype == np.int64
     assert np.all(hashes >= -(2**31)) and np.all(hashes < 2**31)
+
+
+def test_latin1_byte_lower_property():
+    """r8 fast path: str.lower() on latin-1 is exactly '+32 for A-Z and
+    À-Þ except ×' for every one of the 256 codepoints (µ lowers to
+    ITSELF — only casefold() maps it to Greek mu).  This property is
+    what lets _normalized_padded_codes lower in byte space."""
+    from yalder_spark.functions.ngram import _lower_latin1
+
+    for c in range(256):
+        expected = chr(c).lower()
+        upper = (65 <= c <= 90) or (0xC0 <= c <= 0xDE and c != 0xD7)
+        assert expected == (chr(c + 32) if upper else chr(c)), hex(c)
+    codes = np.arange(256, dtype=np.uint8)
+    lowered = _lower_latin1(codes)
+    for orig, low in zip(codes, lowered):
+        assert chr(low) == chr(orig).lower(), hex(orig)
+
+
+def test_micro_sign_batch_matches_pure():
+    """µ/latin-1-extended docs must stay identical to the per-doc
+    oracle through the byte-space lowering fast path."""
+    docs = ["5 µs delay", "µµµ", "Mixed µ AND Upper À", "plain ascii"]
+    hashes, doc_ids, n = batch_ngram_hashes(pd.Series(docs))
+    for d, doc in enumerate(docs):
+        got = hashes[doc_ids == d].tolist()
+        assert got == ngram_hashes_one(doc), doc

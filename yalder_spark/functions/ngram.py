@@ -76,15 +76,14 @@ _KEEP_RE = re.compile(r"[^\W\d_]")
 _SPACE = np.int32(32)
 
 # Byte-space lowercasing for latin-1 batches: str.lower() on a latin-1
-# string is EXACTLY "+32 for A-Z and À-Þ except ×" for every codepoint
-# except U+00B5 (µ lowers to U+03BC GREEK SMALL MU, leaving latin-1) —
-# property-verified over all 256 codepoints in tests/test_ngram.py.
-# Batches containing µ fall back to the per-row str.lower() path.
-_MICRO = 0xB5
+# string is EXACTLY "+32 for A-Z and À-Þ except ×" for every one of the
+# 256 codepoints — property-verified in tests/test_ngram.py.  (µ lowers
+# to ITSELF under str.lower(); only casefold() maps it to Greek mu, so
+# no special case is needed.)
 
 
 def _lower_latin1(codes: np.ndarray) -> np.ndarray:
-    """Vectorized str.lower() over latin-1 bytes (no µ present)."""
+    """Vectorized str.lower() over latin-1 bytes."""
     out = codes.copy()
     up = ((codes >= 65) & (codes <= 90)) | (
         (codes >= 0xC0) & (codes <= 0xDE) & (codes != 0xD7))
@@ -142,8 +141,6 @@ def _normalized_padded_codes(
     try:
         big = "\x00".join(vals) + "\x00"
         raw = np.frombuffer(big.encode("latin-1"), dtype=np.uint8)
-        if (raw == _MICRO).any():
-            raise UnicodeEncodeError("latin-1", "µ", 0, 1, "micro sign")
         codes = _lower_latin1(raw)
         dtype = np.uint8
         lens = np.fromiter((len(v) for v in vals), count=n_docs,

@@ -90,15 +90,25 @@ def explode_ngram_hashes(df: DataFrame, text_col: str = "text",
     # and the Python explode stage — the single most expensive part of
     # training (r8 noop decomposition: 1.6 of 2.5 s at sf1.0) — would
     # run on that many cores.  Round-robin repartition to the session's
-    # parallelism ONLY when the scan is narrower; at production scale
-    # the input has >> defaultParallelism splits and this is a no-op
-    # (no extra exchange).  Result-invariant: counts are summed
-    # globally and the retry-deterministic salt is taken AFTER this
-    # repartition (sortBeforeRepartition keeps row placement stable
-    # under task retry, so the salt stays deterministic too).
+    # parallelism ONLY when the scan is narrower AND the input is big
+    # enough to amortize the exchange (~1 MB of estimated scan bytes is
+    # ~0.3 s of single-core explode work on this host, about the
+    # exchange's fixed latency — below that the shuffle cannot pay for
+    # itself, measured as a small train regression at sf0.1).  At
+    # production scale the input has >> defaultParallelism splits and
+    # this is a no-op (no extra exchange).  Result-invariant: counts
+    # are summed globally and the retry-deterministic salt is taken
+    # AFTER this repartition (sortBeforeRepartition keeps row placement
+    # stable under task retry, so the salt stays deterministic too).
     sc = df.sparkSession.sparkContext
     if src.rdd.getNumPartitions() < sc.defaultParallelism:
-        src = src.repartition(sc.defaultParallelism)
+        try:
+            est_bytes = int(src._jdf.queryExecution().optimizedPlan()
+                            .stats().sizeInBytes())
+        except Exception:
+            est_bytes = None  # no estimate -> assume big (cluster path)
+        if est_bytes is None or est_bytes >= (1 << 20):
+            src = src.repartition(sc.defaultParallelism)
     return src.mapInPandas(gen, _EXPLODE_SCHEMA)
 
 
