@@ -158,38 +158,55 @@ def _minhash_batch(texts: pd.Series) -> np.ndarray:
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """(id, signature array<long>) — map-only."""
+    import pyarrow as pa
 
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            sig = _minhash_batch(pdf[text_col])
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
-                                "signature": list(sig)})
+    def gen(it):
+        for rb in it:
+            sig = _minhash_batch(
+                rb.column(rb.schema.get_field_index(text_col)).to_pandas())
+            n = len(sig)
+            yield pa.RecordBatch.from_arrays([
+                rb.column(rb.schema.get_field_index(id_col)),
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.reshape(-1)), N_PERM).cast(
+                        pa.list_(pa.int64())),
+            ], names=[id_col, "signature"])
 
-    return df.select(id_col, text_col).mapInPandas(
+    return df.select(id_col, text_col).mapInArrow(
         gen, f"{id_col} long, signature array<long>")
 
 
 def lsh_bands(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """(id, band, band_hash) — one row per band; the only shuffled data
-    in candidate generation."""
+    in candidate generation.  mapInArrow (r8): the three output columns
+    are numeric numpy arrays wrapped zero-copy into Arrow, skipping the
+    pandas frame the old mapInPandas path built and re-converted for
+    every batch (16 rows per input doc makes that the operator's
+    biggest non-kernel cost)."""
+    import pyarrow as pa
 
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            sig = _minhash_batch(pdf[text_col])
-            bands = sig.reshape(len(pdf), N_BANDS, ROWS_PER_BAND)
+    def gen(it):
+        for rb in it:
+            texts = rb.column(rb.schema.get_field_index(text_col)).to_pandas()
+            sig = _minhash_batch(texts)
+            n = len(sig)
+            bands = sig.reshape(n, N_BANDS, ROWS_PER_BAND)
             # fold each band's rows into one 63-bit hash
-            bh = np.zeros((len(pdf), N_BANDS), dtype=np.int64)
+            bh = np.zeros((n, N_BANDS), dtype=np.int64)
             for r in range(ROWS_PER_BAND):
                 bh = (bh * np.int64(1000003) + bands[:, :, r]) % MERSENNE
-            ids = np.repeat(pdf[id_col].to_numpy(), N_BANDS)
-            yield pd.DataFrame({
-                id_col: ids,
-                "band": np.tile(np.arange(N_BANDS), len(pdf)),
-                "band_hash": bh.reshape(-1),
-            })
+            ids = np.repeat(
+                rb.column(rb.schema.get_field_index(id_col)).to_numpy(
+                    zero_copy_only=False), N_BANDS)
+            yield pa.RecordBatch.from_arrays([
+                pa.array(ids, type=pa.int64()),
+                pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n),
+                         type=pa.int32()),
+                pa.array(bh.reshape(-1), type=pa.int64()),
+            ], names=[id_col, "band", "band_hash"])
 
-    return df.select(id_col, text_col).mapInPandas(
+    return df.select(id_col, text_col).mapInArrow(
         gen, f"{id_col} long, band int, band_hash long")
 
 

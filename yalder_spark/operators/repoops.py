@@ -93,8 +93,13 @@ def latest_snapshot(df: DataFrame, repo_col: str = "repo",
     sha256(content) DESC, so even a corrupt re-ingest with two
     different payloads under one commit id resolves the SAME way on
     every run — run_filter's deterministic-resume guarantee must hold
-    through this stage; only fully byte-equal duplicate rows remain an
-    arbitrary (value-identical) pick.
+    through this stage.  Determinism is over the KEYED + content
+    columns only (ADVICE r7): rows identical in (repo, path, commit,
+    content) but differing in a ride-along column (e.g. an ingest
+    timestamp) are value-identical under the ordering and resolve
+    arbitrarily between themselves — callers needing a total order
+    over extra columns must pass them through ``commit_col``/their own
+    pre-sort.
 
     Scale shape: ONE shuffle, keyed (repo, path) — window row_number,
     no self-join.  The key carries file-level granularity, so even a
