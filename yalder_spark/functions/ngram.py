@@ -132,12 +132,10 @@ def _normalized_padded_codes(
     # latin-1 fast path: for codepoints <= 255 the byte value IS the
     # codepoint, so 1 byte/char instead of UTF-32's 4 — the hot arrays
     # are memory-bandwidth bound at 32 cores, this is a 4x traffic cut.
-    # Lowercasing runs VECTORIZED in byte space (see _lower_latin1;
-    # µ-bearing batches fall back — its lowercase leaves latin-1), so
+    # Lowercasing runs VECTORIZED in byte space (see _lower_latin1), so
     # the per-row str.lower() pass disappears from the hot path.
     # Non-latin batches fall back to the exact same math on int32.
     vals = s.fillna("").astype("object").to_numpy(dtype=object)
-    lowered = None
     try:
         big = "\x00".join(vals) + "\x00"
         raw = np.frombuffer(big.encode("latin-1"), dtype=np.uint8)

@@ -164,7 +164,6 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         for rb in it:
             sig = _minhash_batch(
                 rb.column(rb.schema.get_field_index(text_col)).to_pandas())
-            n = len(sig)
             yield pa.RecordBatch.from_arrays([
                 rb.column(rb.schema.get_field_index(id_col)),
                 pa.FixedSizeListArray.from_arrays(
